@@ -1,0 +1,293 @@
+"""Public driver API.
+
+Python-native equivalent of the 79-function HYPREDRV C API
+(ref: include/HYPREDRV.h): an opaque driver object with lifecycle verbs
+
+    initialize → create → input_args_parse → linear_system_build
+    → precon_create → linear_solver_create → linear_solver_setup
+    → linear_solver_apply → get_solution → destroy → finalize
+
+plus the high-level one-shot :func:`solve` (the reference Python binding's
+``hypredrive.solve``, ref: interfaces/python/src/__init__.py:38-57).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from .core import runtime as _runtime
+from .core.errors import HypredrvError, ErrorCode
+from .core.stats import Stats
+from .core.logging import log
+from .config import InputArgs, parse_input, config_from_dict
+from .config.sections import PreconConfig, SolverConfig
+
+
+class HypreDrive:
+    """Driver context (reference equivalent: hypredrv_t,
+    ref: src/internal/object.h:11-60)."""
+
+    def __init__(self, name: str = ""):
+        _runtime.initialize()
+        _runtime.register_live(self)
+        self.name = name
+        self.args: Optional[InputArgs] = None
+        self.stats = Stats(name=name)
+        self.system = None          # linsys.system.LinearSystem
+        self.precon = None          # precon.base.Preconditioner
+        self.solver = None          # solvers.base.Solver
+        self.library_mode = False   # borrowed vs owned objects
+        self.current_system_index = -1
+        self._destroyed = False
+        self._reuse_state = None
+
+    # -- config ----------------------------------------------------------
+
+    def input_args_parse(self, source: str, overrides=None, preset=None):
+        """ref: HYPREDRV_InputArgsParse (src/HYPREDRV.c:1204)"""
+        self.args = parse_input(source, overrides, preset, object_name=self.name)
+        self._after_args()
+        return self.args
+
+    def input_args_from_dict(self, options: dict):
+        self.args = config_from_dict(options)
+        self._after_args()
+        return self.args
+
+    def _after_args(self):
+        g = self.args.general
+        self.stats = Stats(use_millisec=g.use_millisec, name=g.name or self.name)
+        if self.args.precon_variants and self.args.preconditioner.reuse.enabled:
+            from .precon.reuse import PreconReuseState
+
+            self._reuse_state = PreconReuseState(self.args.preconditioner.reuse)
+
+    def set_library_mode(self):
+        """ref: HYPREDRV_SetLibraryMode (src/HYPREDRV.c:1309)"""
+        self.library_mode = True
+
+    def set_precon_variant(self, index: int):
+        """Swap the active preconditioner variant and drop stale solver state
+        (ref: HYPREDRV_InputArgsSetPreconVariant, src/HYPREDRV.c:1409)."""
+        self.args.set_precon_variant(index)
+        self.precon = None
+        self.solver = None
+
+    # -- linear system ----------------------------------------------------
+
+    def linear_system_build(self, system_index: Optional[int] = None):
+        """Build A, b, x0 (and optional xref/dofmap) from the config
+        (ref: HYPREDRV_LinearSystemBuild, src/HYPREDRV.c:1932)."""
+        from .linsys.system import LinearSystem
+
+        self.current_system_index += 1
+        if system_index is not None:
+            self.current_system_index = system_index
+        prev = self.system
+        self.system = LinearSystem.build(
+            self.args, self.current_system_index, stats=self.stats, previous=prev
+        )
+        if self.args.general.statistics:
+            nrows = self.system.num_rows
+            nnz = self.system.nnz
+            log(1, f"Solving linear system #{self.current_system_index} "
+                   f"with {nrows} rows and {nnz} nonzeros")
+        return self.system
+
+    def set_matrix_from_csr(self, indptr, indices, data, ilower=0,
+                            num_rows: Optional[int] = None):
+        """Library-mode CSR ingestion
+        (ref: HYPREDRV_LinearSystemSetMatrixFromCSR, include/HYPREDRV.h:882)."""
+        from .linsys.system import LinearSystem
+
+        self.current_system_index += 1
+        self.system = LinearSystem.from_csr(
+            self.args, indptr, indices, data, stats=self.stats
+        )
+        return self.system
+
+    def set_rhs(self, values):
+        self._require_system().set_rhs_array(np.asarray(values))
+
+    def set_initial_guess(self, values):
+        self._require_system().set_x0_array(np.asarray(values))
+
+    def reset_initial_guess(self):
+        """x ← x0 (ref: HYPREDRV_LinearSystemResetInitialGuess)."""
+        self._require_system().reset_initial_guess()
+
+    def get_solution(self) -> np.ndarray:
+        """ref: HYPREDRV_LinearSystemGetSolutionValues (src/HYPREDRV.c:2479)"""
+        return self._require_system().get_solution()
+
+    # -- solve lifecycle ----------------------------------------------------
+
+    def precon_create(self):
+        """ref: HYPREDRV_PreconCreate (src/HYPREDRV.c:2793); honors the
+        collective reuse decision."""
+        rebuild = True
+        if self._reuse_state is not None and self.precon is not None:
+            rebuild = self._reuse_state.should_rebuild(
+                self.current_system_index, self.stats
+            )
+        if rebuild or self.precon is None:
+            from .precon import create_precon
+
+            self.precon = create_precon(self.args.preconditioner, self.args)
+            self._precon_is_setup = False
+        return self.precon
+
+    def linear_solver_create(self):
+        """ref: HYPREDRV_LinearSolverCreate (src/HYPREDRV.c:2897)"""
+        from .solvers import create_solver
+
+        self.solver = create_solver(self.args.solver, self.args)
+        return self.solver
+
+    def linear_solver_setup(self):
+        """Preconditioner setup (hot phase #1;
+        ref: HYPREDRV_LinearSolverSetup, src/HYPREDRV.c:3001)."""
+        system = self._require_system()
+        if self.solver is None:
+            raise HypredrvError("solver not created", ErrorCode.INVALID_SOLVER)
+        system.apply_scaling(self.args.solver.scaling)
+        self.stats.annotate_begin("prec")
+        try:
+            if self.precon is not None and not getattr(self, "_precon_is_setup", False):
+                self.precon.setup(system)
+                self._precon_is_setup = True
+        finally:
+            self.stats.annotate_end("prec")
+        self.solver.setup(system, self.precon)
+
+    def linear_solver_apply(self):
+        """Krylov solve (hot phase #2;
+        ref: HYPREDRV_LinearSolverApply, src/HYPREDRV.c:3126)."""
+        system = self._require_system()
+        result = self.solver.apply(system, self.precon, stats=self.stats)
+        system.postprocess_solution(result)
+        if self._reuse_state is not None:
+            self._reuse_state.record_observation(
+                self.current_system_index, self.stats, result
+            )
+        return result
+
+    def precon_destroy(self):
+        """Destroy unless the reuse engine says keep
+        (ref: main.c:221 + reuse)."""
+        keep = (
+            self._reuse_state is not None
+            and self._reuse_state.should_keep(self.current_system_index)
+        )
+        if not keep:
+            self.precon = None
+            self._precon_is_setup = False
+
+    def linear_solver_destroy(self):
+        self.solver = None
+
+    # -- stats -------------------------------------------------------------
+
+    def annotate_begin(self, name: str, index: Optional[int] = None):
+        self.stats.annotate_begin(name, index)
+
+    def annotate_end(self, name: str, index: Optional[int] = None):
+        self.stats.annotate_end(name, index)
+
+    def annotate_level_begin(self, name: str, index: int):
+        self.stats.annotate_level_begin(name, index)
+
+    def annotate_level_end(self, name: str, index: int):
+        self.stats.annotate_level_end(name, index)
+
+    def stats_print(self, filename: Optional[str] = None):
+        if self.args is not None and self.args.general.statistics_filename:
+            filename = filename or self.args.general.statistics_filename
+        self.stats.print(filename=filename)
+
+    def get_num_iterations(self) -> int:
+        return self.stats.num_iterations()
+
+    def get_final_rel_res_norm(self) -> float:
+        return self.stats.final_rel_res_norm()
+
+    # -- internal ------------------------------------------------------------
+
+    def _require_system(self):
+        if self.system is None:
+            raise HypredrvError("linear system not built", ErrorCode.UNKNOWN_OBJ)
+        return self.system
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def destroy(self):
+        """ref: HYPREDRV_Destroy → DestroyObjectInternal
+        (src/HYPREDRV.c:764)."""
+        if self._destroyed:
+            return
+        if (self.library_mode and self.args is not None
+                and self.args.general.statistics and self.stats.entries):
+            # Library mode auto-prints stats on destroy
+            # (ref: src/HYPREDRV.c:783-888).
+            self.stats_print()
+        self.system = None
+        self.precon = None
+        self.solver = None
+        self._destroyed = True
+        _runtime.unregister_live(self)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.destroy()
+        return False
+
+
+def solve(A=None, b=None, options: Optional[dict] = None, config: Optional[str] = None,
+          x0=None) -> "SolveResult":
+    """One-shot solve (ref: interfaces/python/src/__init__.py:38-57).
+
+    ``A`` may be a scipy.sparse matrix, a (indptr, indices, data) triple, or
+    None when the config names matrix files.
+    """
+    from .linsys.result import SolveResult
+
+    drv = HypreDrive()
+    try:
+        drv.set_library_mode()
+        if config is not None:
+            drv.input_args_parse(config)
+        else:
+            drv.input_args_from_dict(options or {
+                "linear_system": {}, "solver": "gmres", "preconditioner": "amg",
+            })
+        if A is not None:
+            if hasattr(A, "indptr"):  # scipy.sparse CSR-like
+                csr = A.tocsr() if hasattr(A, "tocsr") else A
+                drv.set_matrix_from_csr(csr.indptr, csr.indices, csr.data)
+            else:
+                indptr, indices, data = A
+                drv.set_matrix_from_csr(indptr, indices, data)
+            if b is not None:
+                drv.set_rhs(b)
+            if x0 is not None:
+                drv.set_initial_guess(x0)
+        else:
+            drv.linear_system_build()
+        drv.precon_create()
+        drv.linear_solver_create()
+        drv.linear_solver_setup()
+        result = drv.linear_solver_apply()
+        x = drv.get_solution()
+        return SolveResult(
+            x=np.asarray(x),
+            iters=result.iters,
+            rel_res_norm=result.rel_res_norm,
+            converged=result.converged,
+            solution_norm=float(np.linalg.norm(np.asarray(x))),
+        )
+    finally:
+        drv.destroy()

@@ -1,0 +1,105 @@
+"""Stats annotation state machine + table format (reference analogue:
+tests/test_stats.c which drives the annotation machine directly)."""
+
+import time
+
+from hypredrive_tpu.core.stats import Stats, annotate
+
+
+def test_entry_lifecycle():
+    s = Stats(use_millisec=True)
+    s.annotate_begin("matrix")
+    time.sleep(0.001)
+    s.annotate_end("matrix")
+    s.annotate_begin("rhs")
+    s.annotate_end("rhs")
+    s.annotate_begin("prec")
+    s.annotate_end("prec")
+    s.annotate_begin("solve")
+    s.annotate_end("solve")
+    s.record_solve(6, 3.16e1, 4.98e-8)
+    assert len(s.entries) == 1
+    e = s.entries[0]
+    assert e.ls_id == 0
+    assert e.build_time > 0
+    assert e.iters == 6
+    assert s.num_iterations() == 6
+    assert s.final_rel_res_norm() == 4.98e-8
+
+
+def test_new_matrix_opens_new_entry():
+    s = Stats()
+    for _ in range(3):
+        s.annotate_begin("matrix")
+        s.annotate_end("matrix")
+        s.record_solve(5, 1.0, 1e-7)
+    assert len(s.entries) == 3
+    assert [e.ls_id for e in s.entries] == [0, 1, 2]
+
+
+def test_table_format_matches_reference():
+    """Byte-parity with examples/refOutput/ex1.txt table layout."""
+    s = Stats(use_millisec=True)
+    s.annotate_begin("matrix")
+    s.annotate_end("matrix")
+    s.record_solve(6, 3.16e1, 4.98e-8)
+    # Pin times for deterministic output
+    s.entries[0].build_times = {"matrix": 1.500e-3}
+    s.entries[0].setup_time = 1.286e-3
+    s.entries[0].solve_time = 0.262e-3
+    table = s.summary_table()
+    assert "STATISTICS SUMMARY:" in table
+    expected_sep = ("+--------+-------------+-------------+-------------+"
+                    "------------+------------+--------+")
+    assert expected_sep in table
+    assert ("|        |    LS build |       setup |       solve |"
+            "    initial |   relative |        |") in table
+    assert ("|  Entry |  times [ms] |  times [ms] |  times [ms] |"
+            "  res. norm |  res. norm |  iters |") in table
+    assert ("|      0 |       1.500 |       1.286 |       0.262 |"
+            "   3.16e+01 |   4.98e-08 |      6 |") in table
+
+
+def test_seconds_unit():
+    s = Stats(use_millisec=False)
+    s.annotate_begin("matrix")
+    s.annotate_end("matrix")
+    table = s.summary_table()
+    assert "times [s]" in table
+
+
+def test_custom_annotations():
+    s = Stats()
+    with annotate(s, "Run", 0):
+        pass
+    with annotate(s, "Run", 1):
+        pass
+    table = s.summary_table()
+    assert "run:0" in table and "run:1" in table
+
+
+def test_level_annotations():
+    s = Stats()
+    s.annotate_level_begin("timestep", 1)
+    s.annotate_level_begin("newton", 1)
+    s.annotate_begin("matrix")
+    s.annotate_end("matrix")
+    s.record_solve(4, 1.0, 1e-9)
+    s.annotate_level_end("newton", 1)
+    s.annotate_level_end("timestep", 1)
+    assert s.entries[0].path == "1.1"
+    table = s.summary_table()
+    assert "|  1.1.0 |" in table
+    lvl = s.level_table()
+    assert "timestep" in lvl and "newton" in lvl
+
+
+def test_stats_filename_append(tmp_path):
+    s = Stats()
+    s.annotate_begin("matrix")
+    s.annotate_end("matrix")
+    path = tmp_path / "stats.txt"
+    s.print(filename=str(path))
+    s.print(filename=str(path))
+    content = path.read_text()
+    assert content.count("STATISTICS SUMMARY") == 2
