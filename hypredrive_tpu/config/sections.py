@@ -98,6 +98,18 @@ LINEAR_SYSTEM_SCHEMA = Schema("linear_system", {
     "precon_reuse": F("int", 0, help="legacy alias of preconditioner.reuse"),
     "print_system": PRINT_SYSTEM_SCHEMA,
     "eigspec": EIGSPEC_SCHEMA,
+    "generate": Schema("generate", {
+        "kind": F("str", "", help="laplacian_7pt|laplacian_27pt|laplacian_5pt|"
+                                  "elasticity|multiphysics (TPU extension: "
+                                  "deterministic in-memory systems)"),
+        "nx": F("int", 10),
+        "ny": F("int", 0),
+        "nz": F("int", 0),
+        "ncell": F("int", 100),
+        "ndof": F("int", 3),
+        "seed": F("int", 7),
+    }, help="generated test systems (TPU extension; reference datasets "
+            "are external Zenodo downloads, ref: data/README.md)"),
     "dof_labels": Schema("dof_labels", {}, open_keys=True,
                          help="symbolic dof-name → int map "
                               "(ref: containers.h:120-139)"),
@@ -377,6 +389,10 @@ GS_SCHEMA = Schema("gauss-seidel", {
 }, help="(ref: precon.c:256-289 — AMG as single-level hybrid-GS relaxation)")
 
 PRECON_SCHEMAS = {
+    # chebyshev is a relaxation type in the reference; exposed as a
+    # standalone preconditioner here (TPU extension — it is the natural
+    # device smoother).
+    "chebyshev": CHEBY_SCHEMA,
     "amg": AMG_SCHEMA,
     "mgr": MGR_SCHEMA,
     "ilu": ILU_SCHEMA,

@@ -39,6 +39,19 @@ def initialize(distributed: Optional[bool] = None, **dist_kwargs):
     if _state["initialized"]:
         return
     _state["live"] = weakref.WeakSet()
+    # Persistent XLA compilation cache: solver cores are while_loops whose
+    # first compile is expensive (tens of seconds through a remote-compile
+    # tunnel); caching makes repeat CLI runs fast.
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "HYPREDRV_CACHE_DIR",
+            os.path.expanduser("~/.cache/hypredrive_tpu/jax"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     if distributed is None:
         distributed = bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
     if distributed:

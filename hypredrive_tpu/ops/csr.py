@@ -1,0 +1,266 @@
+"""Host-side CSR containers and setup-phase sparse algebra.
+
+The reference delegates all sparse storage to hypre ParCSR; here the host
+representation is scipy.sparse CSR (setup phase: coarsening, interpolation,
+RAP/SpGEMM, factorizations run on host), and the *solve* phase converts to
+the device ELL format in :mod:`hypredrive_tpu.ops.device_matrix`.
+
+Matrix generators reproduce the reference datasets that matter for parity
+testing: ``ps3d10pt7`` is the standard 7-point 3-D Laplacian on a 10³ grid
+(1000 rows / 6400 nnz — see BASELINE ex1), generated bit-identically here
+instead of downloaded.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def laplacian_3d_7pt(nx: int, ny: Optional[int] = None, nz: Optional[int] = None,
+                     dtype=np.float64) -> sp.csr_matrix:
+    """7-point 3-D Laplacian with Dirichlet boundaries.
+
+    ``laplacian_3d_7pt(10)`` reproduces the reference's ps3d10pt7 system
+    shape: 1000 rows, 6400 nnz (ref: examples/refOutput/ex1.txt).
+    Row ordering is x-fastest (i + nx*(j + ny*k)).
+    """
+    ny = ny or nx
+    nz = nz or nx
+    ex = np.ones(nx)
+    ey = np.ones(ny)
+    ez = np.ones(nz)
+    Tx = sp.diags([-ex[:-1], 2 * ex, -ex[:-1]], [-1, 0, 1], format="csr")
+    Ty = sp.diags([-ey[:-1], 2 * ey, -ey[:-1]], [-1, 0, 1], format="csr")
+    Tz = sp.diags([-ez[:-1], 2 * ez, -ez[:-1]], [-1, 0, 1], format="csr")
+    Ix, Iy, Iz = sp.identity(nx), sp.identity(ny), sp.identity(nz)
+    A = (sp.kron(sp.kron(Iz, Iy), Tx)
+         + sp.kron(sp.kron(Iz, Ty), Ix)
+         + sp.kron(sp.kron(Tz, Iy), Ix))
+    A = sp.csr_matrix(A, dtype=dtype)
+    A.sort_indices()
+    return A
+
+
+def laplacian_2d_5pt(nx: int, ny: Optional[int] = None,
+                     dtype=np.float64) -> sp.csr_matrix:
+    ny = ny or nx
+    ex = np.ones(nx)
+    ey = np.ones(ny)
+    Tx = sp.diags([-ex[:-1], 2 * ex, -ex[:-1]], [-1, 0, 1], format="csr")
+    Ty = sp.diags([-ey[:-1], 2 * ey, -ey[:-1]], [-1, 0, 1], format="csr")
+    A = sp.kron(sp.identity(ny), Tx) + sp.kron(Ty, sp.identity(nx))
+    A = sp.csr_matrix(A, dtype=dtype)
+    A.sort_indices()
+    return A
+
+
+def laplacian_3d_27pt(nx: int, ny: Optional[int] = None, nz: Optional[int] = None,
+                      dtype=np.float64) -> sp.csr_matrix:
+    """27-point 3-D Laplacian (the reference's lap-27 scaling case,
+    ref: docs/usrman-src/performance.rst)."""
+    ny = ny or nx
+    nz = nz or nx
+    # 1-D stencil [1 1 1]; 27-pt operator = 27·I − kron(Sz,Sy,Sx)
+    # (center 26, all 26 neighbors −1).
+    def ones_tridiag(n):
+        e = np.ones(n)
+        return sp.diags([e[:-1], e, e[:-1]], [-1, 0, 1], format="csr")
+
+    K = sp.kron(sp.kron(ones_tridiag(nz), ones_tridiag(ny)), ones_tridiag(nx))
+    A = sp.diags(np.full(nx * ny * nz, 27.0)) - K
+    A = sp.csr_matrix(A, dtype=dtype)
+    A.sort_indices()
+    return A
+
+
+def elasticity_3d(nx: int, ny: Optional[int] = None, nz: Optional[int] = None,
+                  E: float = 1.0, nu: float = 0.3,
+                  dtype=np.float64) -> Tuple[sp.csr_matrix, np.ndarray]:
+    """Simple 3-D linear elasticity (Q1 hexahedra, uniform grid).
+
+    Returns (A, coords) with 3 dofs per node interleaved — the multi-dof
+    test problem for AMG num_functions/RBM paths (reference analogue:
+    examples elasticity driver).  Small and deterministic, not a FEM
+    package: one assembled reference element stiffness, summed over cells.
+    """
+    ny = ny or nx
+    nz = nz or nx
+    lam = E * nu / ((1 + nu) * (1 - 2 * nu))
+    mu = E / (2 * (1 + nu))
+
+    # 2x2x2 Gauss quadrature over the reference hexahedron [-1,1]^3
+    g = 1.0 / np.sqrt(3.0)
+    pts = np.array([[sx * g, sy * g, sz * g]
+                    for sz in (-1, 1) for sy in (-1, 1) for sx in (-1, 1)])
+    corners = np.array([[sx, sy, sz]
+                        for sz in (-1, 1) for sy in (-1, 1) for sx in (-1, 1)])
+
+    def shape_grads(xi):
+        grads = np.zeros((8, 3))
+        for a in range(8):
+            cx, cy, cz = corners[a]
+            grads[a, 0] = cx * (1 + cy * xi[1]) * (1 + cz * xi[2]) / 8.0
+            grads[a, 1] = cy * (1 + cx * xi[0]) * (1 + cz * xi[2]) / 8.0
+            grads[a, 2] = cz * (1 + cx * xi[0]) * (1 + cy * xi[1]) / 8.0
+        return grads
+
+    D = np.zeros((6, 6))
+    D[:3, :3] = lam
+    D[np.arange(3), np.arange(3)] += 2 * mu
+    D[3:, 3:] = np.eye(3) * mu
+
+    Ke = np.zeros((24, 24))
+    for q in range(8):
+        grads = shape_grads(pts[q])  # (8, 3), unit jacobian (h=2 ref cell)
+        B = np.zeros((6, 24))
+        for a in range(8):
+            gx, gy, gz = grads[a]
+            c = 3 * a
+            B[0, c] = gx
+            B[1, c + 1] = gy
+            B[2, c + 2] = gz
+            B[3, c] = gy
+            B[3, c + 1] = gx
+            B[4, c + 1] = gz
+            B[4, c + 2] = gy
+            B[5, c] = gz
+            B[5, c + 2] = gx
+        Ke += B.T @ D @ B  # weight 1 per point
+
+    nnx, nny, nnz_ = nx + 1, ny + 1, nz + 1
+    nnode = nnx * nny * nnz_
+
+    def node(i, j, k):
+        return i + nnx * (j + nny * k)
+
+    rows, cols, vals = [], [], []
+    for k in range(nz):
+        for j in range(ny):
+            for i in range(nx):
+                nodes = [node(i + sx, j + sy, k + sz)
+                         for sz in (0, 1) for sy in (0, 1) for sx in (0, 1)]
+                dofs = np.array([3 * n + d for n in nodes for d in range(3)])
+                rows.append(np.repeat(dofs, 24))
+                cols.append(np.tile(dofs, 24))
+                vals.append(Ke.ravel())
+    A = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(3 * nnode, 3 * nnode),
+    ).tocsr()
+
+    # Dirichlet-pin the z=0 face to make it SPD
+    fixed = np.array([3 * node(i, j, 0) + d
+                      for j in range(nny) for i in range(nnx) for d in range(3)])
+    keep = np.setdiff1d(np.arange(3 * nnode), fixed)
+    A = sp.csr_matrix(A[np.ix_(keep, keep)], dtype=dtype)
+    A.sort_indices()
+
+    xs, ys, zs = np.meshgrid(np.arange(nnx), np.arange(nny), np.arange(nnz_),
+                             indexing="ij")
+    coords = np.stack([
+        xs.ravel(order="F"), ys.ravel(order="F"), zs.ravel(order="F")
+    ], axis=1).astype(np.float64)
+    coords = np.repeat(coords, 3, axis=0)[keep]
+    return A, coords
+
+
+def rigid_body_modes(coords: np.ndarray, ndim: int = 3) -> np.ndarray:
+    """Rigid body modes for elasticity near-null-space (ref: AMGSetRBMs,
+    src/internal/amg.c:602).  coords: (ndof, ndim) node position per dof,
+    dofs interleaved.  Returns (ndof, 6) for 3-D (3 translations +
+    3 rotations)."""
+    n = coords.shape[0]
+    comp = np.arange(n) % ndim
+    if ndim == 3:
+        rbm = np.zeros((n, 6))
+        for d in range(3):
+            rbm[comp == d, d] = 1.0
+        x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
+        # rotation about z: (-y, x, 0)
+        rbm[comp == 0, 3] = -y[comp == 0]
+        rbm[comp == 1, 3] = x[comp == 1]
+        # rotation about x: (0, -z, y)
+        rbm[comp == 1, 4] = -z[comp == 1]
+        rbm[comp == 2, 4] = y[comp == 2]
+        # rotation about y: (z, 0, -x)
+        rbm[comp == 0, 5] = z[comp == 0]
+        rbm[comp == 2, 5] = -x[comp == 2]
+        return rbm
+    rbm = np.zeros((n, 3))
+    for d in range(2):
+        rbm[comp == d, d] = 1.0
+    x, y = coords[:, 0], coords[:, 1]
+    rbm[comp == 0, 2] = -y[comp == 0]
+    rbm[comp == 1, 2] = x[comp == 1]
+    return rbm
+
+
+def multiphysics_block_system(ncell: int, ndof: int = 3, seed: int = 7,
+                              coupling: float = 0.1,
+                              dtype=np.float64) -> Tuple[sp.csr_matrix, np.ndarray]:
+    """Generated multiphysics test system: ``ndof`` interleaved fields on a
+    1-D chain of ``ncell`` cells, diffusion per field plus random coupling.
+
+    Standing in for the reference's compflow6k/poromech2k datasets (GEOS
+    exports, not shipped — ref: data/README.md); gives the dofmap-driven
+    MGR paths a deterministic target.  Returns (A, dofmap) with dofmap[i]
+    the field label of row i (ref: dofmap semantics, linsys.h:176-248).
+    """
+    rng = np.random.default_rng(seed)
+    n = ncell * ndof
+    blocks = []
+    for f in range(ndof):
+        scale = 10.0 ** (-f)  # fields at different magnitudes
+        T = sp.diags(
+            [-scale * np.ones(ncell - 1), 2.1 * scale * np.ones(ncell),
+             -scale * np.ones(ncell - 1)],
+            [-1, 0, 1],
+        )
+        blocks.append(T)
+    A = sp.block_diag(blocks, format="csr")
+    # interleave: interleaved row t = cell t//ndof, field t%ndof
+    # ↔ field-blocked row (t%ndof)*ncell + t//ndof
+    t = np.arange(n)
+    p = (t % ndof) * ncell + t // ndof
+    A = A[np.ix_(p, p)].tolil()
+    # random sparse coupling between fields within a cell
+    couple = rng.uniform(-coupling, coupling, size=(ncell, ndof, ndof))
+    for c in range(ncell):
+        base = c * ndof
+        for a in range(ndof):
+            for b in range(ndof):
+                if a != b:
+                    A[base + a, base + b] += couple[c, a, b] * 10.0 ** (-min(a, b))
+    A = sp.csr_matrix(A, dtype=dtype)
+    A.sort_indices()
+    dofmap = np.tile(np.arange(ndof), ncell).astype(np.int32)
+    return A, dofmap
+
+
+# ---------------------------------------------------------------------------
+# small CSR helpers used by setup-phase algorithms
+# ---------------------------------------------------------------------------
+
+def csr_from_coo(rows, cols, vals, shape, dtype=np.float64) -> sp.csr_matrix:
+    A = sp.coo_matrix((np.asarray(vals, dtype=dtype),
+                       (np.asarray(rows), np.asarray(cols))), shape=shape).tocsr()
+    A.sum_duplicates()
+    A.sort_indices()
+    return A
+
+
+def row_partition(n_rows: int, n_parts: int) -> np.ndarray:
+    """Contiguous block-row partition offsets (ParCSR-style), length
+    n_parts+1."""
+    base = n_rows // n_parts
+    rem = n_rows % n_parts
+    sizes = np.full(n_parts, base, dtype=np.int64)
+    sizes[:rem] += 1
+    return np.concatenate([[0], np.cumsum(sizes)])
+
+
+def max_row_nnz(A: sp.csr_matrix) -> int:
+    return int(np.diff(A.indptr).max(initial=0))

@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Generate the example datasets.
+
+The reference's datasets are external Zenodo downloads (ref:
+data/README.md); the ones needed for parity are deterministic and
+regenerated here:
+
+  * ps3d10pt7 — 7-point 3-D Laplacian, 10³ grid (1000 rows / 6400 nnz,
+    matches examples/refOutput/ex1.txt), b = ones
+    (ex1 initial res norm 3.16e+01 = √1000 confirms b = ones).
+  * multiphys2k — generated multiphysics stand-in for compflow6k-class
+    systems (dofmap-driven MGR tests).
+
+Usage: python scripts/generate_data.py [outdir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from hypredrive_tpu.ops.csr import laplacian_3d_7pt, multiphysics_block_system
+from hypredrive_tpu.io import ij
+
+
+def main(outdir="data"):
+    # ps3d10pt7
+    d1 = os.path.join(outdir, "ps3d10pt7", "np1")
+    os.makedirs(d1, exist_ok=True)
+    A = laplacian_3d_7pt(10)
+    b = np.ones(A.shape[0])
+    ij.write_matrix_ascii(os.path.join(d1, "IJ.out.A"), A)
+    ij.write_vector_ascii(os.path.join(d1, "IJ.out.b"), b)
+    d4 = os.path.join(outdir, "ps3d10pt7", "np4")
+    os.makedirs(d4, exist_ok=True)
+    ij.write_matrix_multipart(os.path.join(d4, "IJ.out.A"), A, 4)
+    ij.write_vector_multipart(os.path.join(d4, "IJ.out.b"), b, 4)
+
+    # multiphysics stand-in (compflow6k-class)
+    d2 = os.path.join(outdir, "multiphys2k", "np1")
+    os.makedirs(d2, exist_ok=True)
+    Am, dofmap = multiphysics_block_system(729, 3)
+    bm = np.ones(Am.shape[0])
+    ij.write_matrix_ascii(os.path.join(d2, "IJ.out.A"), Am)
+    ij.write_vector_ascii(os.path.join(d2, "IJ.out.b"), bm)
+    ij.write_dofmap_ascii(os.path.join(d2, "dofmap.out"), dofmap)
+
+    print(f"wrote datasets under {outdir}/")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "data")
