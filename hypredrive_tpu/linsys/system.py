@@ -38,7 +38,9 @@ def _resolve_dtype(general) -> jnp.dtype:
 def _resolve_device(general, ls):
     """exec_policy host → CPU backend, device → accelerator
     (ref: exec_policy plumbing, src/HYPREDRV.c:308-349)."""
-    policy = ls.get("exec_policy", general.get("exec_policy", 1))
+    # host wins if either section asks for it (linear_system schema default
+    # is device, so general's setting must also be consulted)
+    policy = min(ls.get("exec_policy", 1), general.get("exec_policy", 1))
     if policy == 0:
         try:
             return jax.devices("cpu")[0]
@@ -109,6 +111,20 @@ class LinearSystem:
         self.device = _resolve_device(general, ls)
         self.dof_labels = dict(ls.get("dof_labels") or {})
 
+        # Arrays must be *created* on the target device: a post-hoc
+        # device_put from an accelerator forces a device→host readback,
+        # which is pathologically slow through remote-TPU tunnels.
+        import contextlib
+
+        device_ctx = (jax.default_device(self.device)
+                      if self.device is not None else contextlib.nullcontext())
+        with device_ctx:
+            return cls._build_inner(self, input_args, ls_id, stats, previous)
+
+    @staticmethod
+    def _build_inner(self, input_args, ls_id, stats, previous):
+        ls = input_args.linear_system
+
         if stats:
             stats.annotate_begin("matrix")
         try:
@@ -139,19 +155,8 @@ class LinearSystem:
                 if stats:
                     stats.annotate_end("dofmap")
 
-        self._place_on_device()
         self.reset_initial_guess()
         return self
-
-    def _place_on_device(self):
-        if self.device is None:
-            return
-        put = lambda v: None if v is None else jax.device_put(v, self.device)
-        self.A = put(self.A)
-        self.M = put(self.M)
-        self.b = put(self.b)
-        self.x0 = put(self.x0)
-        self.xref = put(self.xref)
 
     def _build_matrix(self, ls, ls_id: int):
         gen = ls.get("generate")

@@ -1,0 +1,73 @@
+"""Device V/W cycles (jit-safe, levels unrolled at trace time).
+
+The cycle is a pure function of the AMGState pytree; level count and
+smoother kinds live in pytree aux, so XLA compiles one fused program for
+the whole cycle: smoothers are SpMV+AXPY chains on the VPU, grid
+transfers are the same gather-SpMV kernel, and the coarsest solve is a
+dense matvec on the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .hierarchy import AMGState, AMGLevel
+
+
+def _smooth(level: AMGLevel, x, b, sweeps: int):
+    """sweeps × (x += B(b − Ax)) with the level's smoother."""
+    if sweeps <= 0:
+        return x
+    A = level.A
+    kind = level.smoother
+    if kind == "chebyshev":
+        d_inv, theta, delta, rhos = level.smooth_arrays
+        order = rhos.shape[0]
+        for _ in range(sweeps):
+            # Chebyshev on the residual equation A e = r, x += e
+            r = b - A.matvec(x)
+            z = d_inv * r / theta
+            d = z
+            rho_prev = rhos[0]
+            for k in range(1, order):
+                resid = d_inv * (r - A.matvec(z))
+                d = rhos[k] * rho_prev * d + (2.0 * rhos[k] / delta) * resid
+                z = z + d
+                rho_prev = rhos[k]
+            x = x + z
+        return x
+    (d_inv,) = level.smooth_arrays
+    for _ in range(sweeps):
+        x = x + d_inv * (b - A.matvec(x))
+    return x
+
+
+def _cycle(state: AMGState, lvl: int, b):
+    """One multigrid cycle on level lvl for A_l e = b, e₀ = 0."""
+    levels = state.levels
+    level = levels[lvl]
+    if lvl == len(levels) - 1:
+        return state.coarse_inv @ b
+
+    x = jnp.zeros_like(b)
+    x = _smooth(level, x, b, level.pre_sweeps)
+    r = b - level.A.matvec(x)
+    rc = level.R.matvec(r)
+    ec = _cycle(state, lvl + 1, rc)
+    if state.cycle_type == 1 and lvl + 1 < len(levels) - 1:
+        # W-cycle: second coarse visit
+        rc2 = rc - levels[lvl + 1].A.matvec(ec)
+        ec = ec + _cycle(state, lvl + 1, rc2)
+    x = x + level.P.matvec(ec)
+    x = _smooth(level, x, b, level.post_sweeps)
+    return x
+
+
+def amg_apply(state: AMGState, r):
+    """z ≈ A⁻¹ r: max_iter cycles (preconditioner default 1)."""
+    z = _cycle(state, 0, r)
+    for _ in range(state.max_iter - 1):
+        resid = r - state.levels[0].A.matvec(z)
+        z = z + _cycle(state, 0, resid)
+    return z

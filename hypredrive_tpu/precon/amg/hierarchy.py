@@ -1,0 +1,219 @@
+"""AMG hierarchy setup (host) → device level pytree.
+
+Setup phase (host, numpy/scipy — latency-bound graph algorithms, the
+reference's own split: setup on host semantics, solve on device):
+
+    strength → coarsen (PMIS/HMIS) → interpolation → RAP (scipy SpGEMM)
+
+per level until max_coarse_size / max_levels, then a dense coarse-grid
+inverse (the reference coarse_type default 9 = Gaussian elimination).
+
+Each level carries device arrays (EllMatrix A/P/R + smoother vectors) and
+static metadata (smoother kind/sweeps) in pytree aux so the jitted cycle
+retraces only when the *structure* changes, not the values — pairs with
+lsseq pattern dedup for sequences.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+
+from ...ops.device_matrix import EllMatrix
+from .strength import strength_graph
+from .coarsen import coarsen
+from .interp import build_interpolation
+
+# relax-type codes → native smoother kinds
+# (ref vocab: amg.c AMGrlxGetValidValues; sequential GS variants map to
+# their ℓ1-Jacobi device equivalents, the reference's own GPU fallback)
+_RELAX_KIND = {
+    0: "jacobi", 7: "jacobi", 18: "l1-jacobi",
+    3: "l1-jacobi", 4: "l1-jacobi", 5: "l1-jacobi", 6: "l1-jacobi",
+    8: "l1-jacobi", 13: "l1-jacobi", 14: "l1-jacobi", 89: "l1-jacobi",
+    11: "l1-jacobi", 12: "l1-jacobi",
+    16: "chebyshev",
+}
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class AMGLevel:
+    A: EllMatrix
+    P: Optional[EllMatrix]          # prolongation (None on coarsest)
+    R: Optional[EllMatrix]          # restriction (Pᵀ unless AIR)
+    smooth_arrays: Tuple            # arrays for the smoother
+    smoother: str = "l1-jacobi"     # static
+    pre_sweeps: int = 1             # static
+    post_sweeps: int = 1            # static
+
+    def tree_flatten(self):
+        return ((self.A, self.P, self.R, self.smooth_arrays),
+                (self.smoother, self.pre_sweeps, self.post_sweeps))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        A, P, R, sm = children
+        return cls(A, P, R, sm, *aux)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class AMGState:
+    levels: Tuple[AMGLevel, ...]
+    coarse_inv: Optional[jnp.ndarray]   # dense inverse of coarsest A
+    cycle_type: int = 0                  # 0=V, 1=W (static)
+    max_iter: int = 1                    # static
+
+    def tree_flatten(self):
+        return ((self.levels, self.coarse_inv),
+                (self.cycle_type, self.max_iter))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        levels, coarse_inv = children
+        return cls(levels, coarse_inv, *aux)
+
+
+def _power_lambda_max(A_host: sp.csr_matrix, d_inv: np.ndarray,
+                      iters: int = 10, seed: int = 0) -> float:
+    """Host power iteration on D⁻¹A (setup-phase λmax estimate —
+    deterministic and avoids a per-level device compile)."""
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(A_host.shape[0])
+    lam = 1.0
+    for _ in range(max(1, iters)):
+        w = d_inv * (A_host @ v)
+        lam = np.linalg.norm(w)
+        if lam == 0:
+            return 1.0
+        v = w / lam
+    return float(lam)
+
+
+def _smoother_arrays(kind: str, A_host: sp.csr_matrix, E: EllMatrix,
+                     cheby_args=None, weight: float = 1.0) -> Tuple:
+    dtype = E.dtype
+    if kind == "chebyshev":
+        from ..chebyshev import cheby_coefficients
+
+        order = int(cheby_args.get("order", 2)) if cheby_args else 2
+        fraction = float(cheby_args.get("fraction", 0.3)) if cheby_args else 0.3
+        eig_iters = int(cheby_args.get("eig_est", 10)) if cheby_args else 10
+        diag = A_host.diagonal()
+        d_inv_np = np.where(diag != 0, 1.0 / diag, 1.0)
+        lam = _power_lambda_max(A_host, d_inv_np, eig_iters) * 1.1
+        theta, delta, rhos = cheby_coefficients(lam, fraction, order)
+        return (jnp.asarray(d_inv_np, dtype), jnp.asarray(theta, dtype),
+                jnp.asarray(delta, dtype), jnp.asarray(rhos, dtype))
+    if kind == "jacobi":
+        diag = A_host.diagonal()
+        d = np.where(diag != 0, weight / diag, 1.0)
+        return (jnp.asarray(d, dtype),)
+    # l1-jacobi: D = Σ_j |a_ij|
+    l1 = np.asarray(np.abs(A_host).sum(axis=1)).ravel()
+    d = np.where(l1 != 0, weight / l1, 1.0)
+    return (jnp.asarray(d, dtype),)
+
+
+def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
+                    dof_func: Optional[np.ndarray] = None) -> AMGState:
+    """Build the multigrid hierarchy from the AMG config Args
+    (schema: config/sections.py AMG_SCHEMA; ref arg structs amg.h:23-123)."""
+    csn = amg_args.coarsening
+    itp = amg_args.interpolation
+    rlx = amg_args.relaxation
+
+    theta = float(csn.strong_th)
+    sabs = bool(csn.sabs)
+    max_levels = int(csn.max_levels)
+    max_coarse = max(1, int(csn.max_coarse_size))
+    min_coarse = int(csn.min_coarse_size)
+    num_functions = int(csn.num_functions)
+
+    down_kind = _RELAX_KIND.get(int(rlx.down_type), "l1-jacobi")
+    up_kind = _RELAX_KIND.get(int(rlx.up_type), "l1-jacobi")
+    # one smoother kind per level in v1: prefer chebyshev when either
+    # direction asks for it, else the down kind
+    kind = "chebyshev" if "chebyshev" in (down_kind, up_kind) else down_kind
+    num_sweeps = max(1, int(rlx.num_sweeps))
+    pre = int(rlx.down_sweeps) if int(rlx.down_sweeps) >= 0 else num_sweeps
+    post = int(rlx.up_sweeps) if int(rlx.up_sweeps) >= 0 else num_sweeps
+    weight = float(rlx.weight)
+
+    levels: List[AMGLevel] = []
+    A_l = sp.csr_matrix(A_host)
+    func_l = dof_func if num_functions > 1 else None
+
+    for lvl in range(max_levels - 1):
+        n = A_l.shape[0]
+        if n <= max_coarse or (min_coarse and n <= min_coarse):
+            break
+        S = strength_graph(A_l, theta=theta, sabs=sabs, dof_func=func_l)
+        if S.nnz == 0:
+            break
+        cf = coarsen(S, ctype=int(csn.type), seed=lvl)
+        nC = int((cf > 0).sum())
+        if nC == 0 or nC >= n:
+            break
+        P = build_interpolation(
+            A_l, S, cf,
+            prolongation_type=int(itp.prolongation_type),
+            trunc_factor=float(itp.trunc_factor),
+            max_nnz_row=int(itp.max_nnz_row))
+        R = sp.csr_matrix(P.T)
+        A_c = sp.csr_matrix(R @ A_l @ P)   # Galerkin RAP (scipy SpGEMM)
+        A_c.sort_indices()
+
+        E = EllMatrix.from_csr(A_l, dtype=dtype)
+        levels.append(AMGLevel(
+            A=E,
+            P=EllMatrix.from_csr(P, dtype=dtype),
+            R=EllMatrix.from_csr(R, dtype=dtype),
+            smooth_arrays=_smoother_arrays(kind, A_l, E, rlx.chebyshev,
+                                           weight),
+            smoother=kind,
+            pre_sweeps=pre,
+            post_sweeps=post,
+        ))
+        if func_l is not None:
+            func_l = func_l[cf > 0]
+        A_l = A_c
+        if A_l.shape[0] <= max_coarse:
+            break
+
+    # coarsest level: dense inverse (ref coarse_type 9 = GE)
+    E_c = EllMatrix.from_csr(A_l, dtype=dtype)
+    levels.append(AMGLevel(
+        A=E_c, P=None, R=None,
+        smooth_arrays=_smoother_arrays(kind, A_l, E_c, rlx.chebyshev, weight),
+        smoother=kind, pre_sweeps=pre, post_sweeps=post,
+    ))
+    dense = np.asarray(A_l.todense(), dtype=np.float64)
+    try:
+        inv = np.linalg.inv(dense)
+    except np.linalg.LinAlgError:
+        inv = np.linalg.pinv(dense)
+    coarse_inv = jnp.asarray(inv, dtype=dtype)
+
+    return AMGState(
+        levels=tuple(levels),
+        coarse_inv=coarse_inv,
+        cycle_type=0,
+        max_iter=max(1, int(amg_args.max_iter)),
+    )
+
+
+def hierarchy_summary(state: AMGState) -> str:
+    lines = ["AMG hierarchy:"]
+    for i, lv in enumerate(state.levels):
+        n = lv.A.shape[0]
+        lines.append(
+            f"  level {i}: n={n} nnz={lv.A.nnz} smoother={lv.smoother} "
+            f"(pre={lv.pre_sweeps}, post={lv.post_sweeps})")
+    return "\n".join(lines)

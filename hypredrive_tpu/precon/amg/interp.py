@@ -1,0 +1,219 @@
+"""Interpolation operators: direct and extended+i (MM form).
+
+Reference behavior: BoomerAMG prolongation types (ref: amg.c:250-274);
+the default is extended+i (6), the right choice for PMIS grids where
+F-F pairs without a common C-point occur (De Sterck-Yang-Heys).
+
+TPU-first construction: instead of hypre's per-row C loops, both
+interpolations are built from *matrix products* on host scipy CSR (the
+"MM" formulation hypre itself uses on GPUs — mm_extended+i):
+
+  ext:    W = -D_α⁻¹ (Â_FC + Â_FF D_β⁻¹ Â_FC)
+  ext+i:  W = -(D_α + D_γ)⁻¹ (Â_FC + Â_FF D_β⁻¹ Â_FC)
+
+with Â_* the strong-connection blocks, β_k the interpolatory row sums,
+γ_i the distance-two feedback Σ_k Â_FF[i,k]·A[k,i]/β_k, and α_i the
+diagonal with weak couplings lumped in.  Truncation (trunc_factor /
+max_nnz_row) rescales rows to preserve row sums, as hypre does.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def _split_blocks(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray):
+    """Return (A_FF_strong, A_FC_strong, A_FC_all, diag, weak_rowsum_F)."""
+    n = A.shape[0]
+    F = np.flatnonzero(cf < 0)
+    C = np.flatnonzero(cf > 0)
+    diag = A.diagonal()
+
+    # strong off-diag entries (values of A on the S pattern)
+    A_strong = sp.csr_matrix(A.multiply(S.astype(bool)))
+    # weak off-diagonal row sums = rowsum(A) − diag − rowsum(strong)
+    weak_rowsum = (np.asarray(A.sum(axis=1)).ravel() - diag
+                   - np.asarray(A_strong.sum(axis=1)).ravel())
+    A_FF = A_strong[F][:, F]
+    A_FC = A_strong[F][:, C]
+    return A_FF, A_FC, diag, weak_rowsum, F, C
+
+
+def direct_interpolation(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
+                         trunc_factor: float = 0.0, max_nnz_row: int = 4
+                         ) -> sp.csr_matrix:
+    """Classical direct interpolation (hypre type 3/direct):
+    P_ij = -(a_ij / α_i) with α scaled so row sums are preserved."""
+    A_FF, A_FC, diag, weak_rowsum, F, C = _split_blocks(A, S, cf)
+    nF = len(F)
+
+    # total off-diagonal sums vs strong-C sums (negative/positive split)
+    full_neg = np.zeros(A.shape[0])
+    full_pos = np.zeros(A.shape[0])
+    rows = np.repeat(np.arange(A.shape[0]), np.diff(A.indptr))
+    offd = rows != A.indices
+    np.add.at(full_neg, rows[offd & (A.data < 0)], A.data[offd & (A.data < 0)])
+    np.add.at(full_pos, rows[offd & (A.data > 0)], A.data[offd & (A.data > 0)])
+
+    fc = A_FC.tocoo()
+    c_neg = np.zeros(nF)
+    c_pos = np.zeros(nF)
+    np.add.at(c_neg, fc.row[fc.data < 0], fc.data[fc.data < 0])
+    np.add.at(c_pos, fc.row[fc.data > 0], fc.data[fc.data > 0])
+
+    dF = diag[F].copy()
+    # lump positives into the diagonal when no positive C-connections
+    no_pos = c_pos == 0
+    dF = dF + np.where(no_pos, full_pos[F], 0.0)
+
+    scale_neg = np.where(c_neg != 0, full_neg[F] / c_neg, 0.0)
+    scale_pos = np.where(c_pos != 0, full_pos[F] / c_pos, 0.0)
+
+    w = np.where(fc.data < 0, fc.data * scale_neg[fc.row],
+                 fc.data * scale_pos[fc.row])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w = -w / dF[fc.row]
+    w = np.where(np.isfinite(w), w, 0.0)
+
+    W = sp.csr_matrix((w, (fc.row, fc.col)), shape=(nF, len(C)))
+    W = _truncate(W, trunc_factor, max_nnz_row)
+    return _assemble_P(W, cf, F, C)
+
+
+def extended_i_interpolation(A: sp.csr_matrix, S: sp.csr_matrix,
+                             cf: np.ndarray, trunc_factor: float = 0.0,
+                             max_nnz_row: int = 4,
+                             plus_i: bool = True) -> sp.csr_matrix:
+    """Extended(+i) interpolation in matrix-matrix form (hypre mm-ext+i)."""
+    A_FF, A_FC, diag, weak_rowsum, F, C = _split_blocks(A, S, cf)
+    nF = len(F)
+
+    # β_k: interpolatory sums of F-point k — its strong-C connections are
+    # all members of the extended set Ĉ_i, so β_k = rowsum(Â_FC)_k.
+    beta = np.asarray(A_FC.sum(axis=1)).ravel()
+
+    # Per-pair distribution denominators β̂_{k,i} = β_k + ā_ki (the "+i":
+    # point i itself joins k's interpolatory set — De Sterck-Yang-Heys).
+    Pat = sp.csr_matrix(A_FF)
+    Pat.sort_indices()
+    if plus_i:
+        # values ā_ki looked up at the (i,k) positions of Â_FF via sorted
+        # (row,col) keys (transpose pattern may differ, missing → 0)
+        AT = sp.csr_matrix(A_FF.T)
+        AT.sort_indices()
+        rows_at = np.repeat(np.arange(nF), np.diff(AT.indptr)).astype(np.int64)
+        keys_at = rows_at * nF + AT.indices
+        rows_q = np.repeat(np.arange(nF), np.diff(Pat.indptr)).astype(np.int64)
+        keys_q = rows_q * nF + Pat.indices
+        pos = np.searchsorted(keys_at, keys_q)
+        pos_c = np.minimum(pos, max(len(keys_at) - 1, 0))
+        found = (len(keys_at) > 0) & (pos < len(keys_at)) \
+            & (keys_at[pos_c] == keys_q)
+        a_ki = np.where(found, AT.data[pos_c] if len(keys_at) else 0.0, 0.0)
+    else:
+        a_ki = np.zeros_like(Pat.data)
+
+    denom_pair = beta[Pat.indices] + a_ki
+    denom_pair = np.where(denom_pair != 0, denom_pair, 1.0)
+    G = sp.csr_matrix((Pat.data / denom_pair, Pat.indices, Pat.indptr),
+                      shape=Pat.shape)
+
+    # numerator: Â_FC + G·Â_FC   (distance-2 extension)
+    N = (A_FC + G @ A_FC).tocsr()
+
+    # denominator: ã_ii = a_ii + Σ_weak a_in + Σ_k a_ik ā_ki / β̂_{k,i}
+    alpha = diag[F] + weak_rowsum[F]
+    if plus_i:
+        gamma = np.zeros(nF)
+        rows_g = np.repeat(np.arange(nF), np.diff(Pat.indptr))
+        np.add.at(gamma, rows_g, G.data * a_ki)
+        denom = alpha + gamma
+    else:
+        denom = alpha
+
+    denom = np.where(denom != 0, denom, 1.0)
+    W = sp.csr_matrix(sp.diags(-1.0 / denom) @ N)
+    W = _truncate(W, trunc_factor, max_nnz_row)
+    return _assemble_P(W, cf, F, C)
+
+
+def _truncate(W: sp.csr_matrix, trunc_factor: float, max_nnz_row: int
+              ) -> sp.csr_matrix:
+    """Drop small entries / keep largest per row, rescaling to preserve
+    row sums (hypre truncation semantics)."""
+    if trunc_factor <= 0 and (max_nnz_row is None or max_nnz_row <= 0):
+        return W
+    W = W.tocsr()
+    indptr, indices, data = W.indptr, W.indices, W.data
+    new_rows, new_cols, new_vals = [], [], []
+    for i in range(W.shape[0]):
+        lo, hi = indptr[i], indptr[i + 1]
+        if lo == hi:
+            continue
+        vals = data[lo:hi]
+        cols = indices[lo:hi]
+        keep = np.ones(len(vals), dtype=bool)
+        if trunc_factor > 0:
+            keep &= np.abs(vals) >= trunc_factor * np.abs(vals).max()
+        if max_nnz_row and keep.sum() > max_nnz_row:
+            order = np.argsort(-np.abs(vals))
+            kept_sorted = order[np.isin(order, np.flatnonzero(keep))]
+            sel = kept_sorted[:max_nnz_row]
+            keep = np.zeros(len(vals), dtype=bool)
+            keep[sel] = True
+        if keep.all():
+            sel_vals = vals
+            sel_cols = cols
+        else:
+            orig_sum = vals.sum()
+            sel_vals = vals[keep]
+            sel_cols = cols[keep]
+            new_sum = sel_vals.sum()
+            if new_sum != 0 and orig_sum != 0:
+                sel_vals = sel_vals * (orig_sum / new_sum)
+        new_rows.append(np.full(len(sel_cols), i))
+        new_cols.append(sel_cols)
+        new_vals.append(sel_vals)
+    if not new_rows:
+        return sp.csr_matrix(W.shape)
+    return sp.csr_matrix(
+        (np.concatenate(new_vals),
+         (np.concatenate(new_rows), np.concatenate(new_cols))),
+        shape=W.shape)
+
+
+def _assemble_P(W: sp.csr_matrix, cf: np.ndarray, F: np.ndarray,
+                C: np.ndarray) -> sp.csr_matrix:
+    """P: C-points identity rows, F-points the weight rows."""
+    n = len(cf)
+    nC = len(C)
+    Wc = W.tocoo()
+    rows = np.concatenate([C, F[Wc.row]])
+    cols = np.concatenate([np.arange(nC), Wc.col])
+    vals = np.concatenate([np.ones(nC), Wc.data])
+    P = sp.csr_matrix((vals, (rows, cols)), shape=(n, nC))
+    P.sort_indices()
+    return P
+
+
+def build_interpolation(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
+                        prolongation_type: int = 6, trunc_factor: float = 0.0,
+                        max_nnz_row: int = 4) -> sp.csr_matrix:
+    """Dispatch on prolongation_type (ref vocab amg.c:250-274).
+
+    Types map onto the three native builders: direct-family codes (0-3,
+    8-9) → direct; extended family (6,7,14,16,17,18) → ext(+i); anything
+    else falls back to ext+i (the reference default and the robust choice
+    on PMIS grids).
+    """
+    if prolongation_type in (3, 15):  # direct / direct_sep_weights
+        return direct_interpolation(A, S, cf, trunc_factor, max_nnz_row)
+    if prolongation_type in (14, 16):  # extended (no +i)
+        return extended_i_interpolation(A, S, cf, trunc_factor, max_nnz_row,
+                                        plus_i=False)
+    # 6 = extended+i (default), 17/18 = mm variants, others → robust default
+    return extended_i_interpolation(A, S, cf, trunc_factor, max_nnz_row,
+                                    plus_i=True)
