@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Benchmark: SpMV + AMG V-cycle nnz/s/chip and PCG iters/wall-time.
+
+Matches the driver metric contract (BASELINE.json): prints ONE JSON line
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+value        = SpMV nnz/s on one chip (f32, 7-pt Laplacian, 262k rows)
+vs_baseline  = reference iteration parity on the ex1-class system:
+               hypre_iters(6; examples/refOutput/ex1.txt) / our_iters —
+               ≥ 1.0 means we match or beat hypre's convergence.
+Extra keys give the V-cycle throughput and solve wall time for the
+record; they don't replace the contract fields.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.environ.get("HYPREDRV_CACHE_DIR",
+                           os.path.expanduser("~/.cache/hypredrive_tpu/jax"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from hypredrive_tpu.ops.csr import laplacian_3d_7pt
+    from hypredrive_tpu.ops.device_matrix import EllMatrix
+    from hypredrive_tpu.precon.amg.hierarchy import setup_hierarchy
+    from hypredrive_tpu.precon.amg.cycle import amg_apply
+    from hypredrive_tpu.solvers.pcg import _pcg_core
+    from hypredrive_tpu.config.sections import AMG_SCHEMA
+
+    dtype = jnp.float32
+    nx = int(os.environ.get("HYPREDRV_BENCH_NX", "64"))
+    reps = int(os.environ.get("HYPREDRV_BENCH_REPS", "50"))
+
+    A_host = laplacian_3d_7pt(nx, dtype=np.float32)
+    n = A_host.shape[0]
+    nnz = A_host.nnz
+
+    t_setup0 = time.perf_counter()
+    A = EllMatrix.from_csr(A_host, dtype=dtype)
+    state = setup_hierarchy(A_host, AMG_SCHEMA.defaults(), dtype=dtype)
+    setup_time = time.perf_counter() - t_setup0
+
+    x = jnp.ones(n, dtype=dtype)
+    b = jnp.ones(n, dtype=dtype)
+
+    # ---- SpMV throughput -------------------------------------------------
+    spmv = jax.jit(lambda A, x: A.matvec(x))
+    y = spmv(A, x)
+    y.block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = spmv(A, y / jnp.max(jnp.abs(y)))
+    y.block_until_ready()
+    spmv_t = (time.perf_counter() - t0) / reps
+    spmv_nnz_s = nnz / spmv_t
+
+    # ---- AMG V-cycle throughput -------------------------------------------
+    vcycle = jax.jit(lambda s, r: amg_apply(s, r))
+    z = vcycle(state, b)
+    z.block_until_ready()
+    # nnz touched per cycle: smoothing sweeps + residual on each level
+    # (pre+post Chebyshev(order) ≈ order SpMVs each + 1 residual) + P/R
+    cyc_nnz = 0
+    for lv in state.levels[:-1]:
+        sweeps = lv.pre_sweeps + lv.post_sweeps
+        order = (lv.smooth_arrays[3].shape[0]
+                 if lv.smoother == "chebyshev" else 1)
+        cyc_nnz += lv.A.nnz * (sweeps * (2 * order - 1) + 1)
+        cyc_nnz += lv.P.nnz + lv.R.nnz
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        z = vcycle(state, z / jnp.max(jnp.abs(z)))
+    z.block_until_ready()
+    vcyc_t = (time.perf_counter() - t0) / reps
+    vcyc_nnz_s = cyc_nnz / vcyc_t
+
+    # ---- full solve to rtol=1e-8 (warm) ------------------------------------
+    @jax.jit
+    def solve(A, state, b, x0):
+        mv = lambda v: A.matvec(v)
+        pc = lambda r: amg_apply(state, r)
+        return _pcg_core(mv, pc, b, x0, jnp.asarray(1e-8, dtype),
+                         jnp.asarray(0.0, dtype), 100, True, 0)
+
+    x0 = jnp.zeros(n, dtype=dtype)
+    out = solve(A, state, b, x0)
+    out[0].block_until_ready()  # compile
+    t0 = time.perf_counter()
+    xs, iters, norm, done, _ = solve(A, state, b, x0)
+    xs.block_until_ready()
+    solve_t = time.perf_counter() - t0
+    iters_big = int(iters)
+
+    # ---- ex1-class parity (hypre: 6 iters, refOutput/ex1.txt) -------------
+    A1_host = laplacian_3d_7pt(10, dtype=np.float32)
+    A1 = EllMatrix.from_csr(A1_host, dtype=dtype)
+    s1 = setup_hierarchy(A1_host, AMG_SCHEMA.defaults(), dtype=dtype)
+    b1 = jnp.ones(1000, dtype=dtype)
+    out1 = solve(A1, s1, b1, jnp.zeros(1000, dtype=dtype))
+    ex1_iters = max(1, int(out1[1]))
+    vs_baseline = 6.0 / ex1_iters
+
+    print(json.dumps({
+        "metric": "spmv_nnz_per_s_per_chip",
+        "value": round(spmv_nnz_s),
+        "unit": "nnz/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "extra": {
+            "backend": jax.default_backend(),
+            "problem": f"laplacian_7pt {nx}^3 (n={n}, nnz={nnz}) f32",
+            "amg_vcycle_nnz_per_s": round(vcyc_nnz_s),
+            "amg_levels": len(state.levels),
+            "pcg_amg_iters_to_1e-8": iters_big,
+            "pcg_amg_solve_s": round(solve_t, 4),
+            "amg_setup_s": round(setup_time, 3),
+            "ex1_iters": ex1_iters,
+            "ex1_ref_iters": 6,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -48,7 +48,14 @@ def _cycle(state: AMGState, lvl: int, b):
     levels = state.levels
     level = levels[lvl]
     if lvl == len(levels) - 1:
-        return state.coarse_inv @ b
+        z = state.coarse_inv @ b
+        if state.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ...parallel.mesh import ROWS_AXIS
+
+            z = jax.lax.with_sharding_constraint(
+                z, NamedSharding(state.mesh, P(ROWS_AXIS)))
+        return z
 
     x = jnp.zeros_like(b)
     x = _smooth(level, x, b, level.pre_sweeps)

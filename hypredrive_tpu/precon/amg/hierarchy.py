@@ -69,10 +69,11 @@ class AMGState:
     coarse_inv: Optional[jnp.ndarray]   # dense inverse of coarsest A
     cycle_type: int = 0                  # 0=V, 1=W (static)
     max_iter: int = 1                    # static
+    mesh: object = None                  # static; set for multi-chip
 
     def tree_flatten(self):
         return ((self.levels, self.coarse_inv),
-                (self.cycle_type, self.max_iter))
+                (self.cycle_type, self.max_iter, self.mesh))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -121,10 +122,35 @@ def _smoother_arrays(kind: str, A_host: sp.csr_matrix, E: EllMatrix,
     return (jnp.asarray(d, dtype),)
 
 
+def _pad_smoother_arrays(arrs: Tuple, n_pad: int, mesh) -> Tuple:
+    """Pad per-row smoother vectors with 1.0 (identity pad rows) and shard
+    them over the mesh rows axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ...parallel.mesh import ROWS_AXIS
+
+    out = []
+    for a in arrs:
+        a_np = np.asarray(a)
+        if a_np.ndim == 1 and a_np.shape[0] != n_pad and a_np.shape[0] > 4:
+            padded = np.ones(n_pad, dtype=a_np.dtype)
+            padded[:a_np.shape[0]] = a_np
+            out.append(jax.device_put(
+                jnp.asarray(padded), NamedSharding(mesh, P(ROWS_AXIS))))
+        else:
+            out.append(jnp.asarray(a_np))
+    return tuple(out)
+
+
 def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
-                    dof_func: Optional[np.ndarray] = None) -> AMGState:
+                    dof_func: Optional[np.ndarray] = None,
+                    mesh=None) -> AMGState:
     """Build the multigrid hierarchy from the AMG config Args
-    (schema: config/sections.py AMG_SCHEMA; ref arg structs amg.h:23-123)."""
+    (schema: config/sections.py AMG_SCHEMA; ref arg structs amg.h:23-123).
+
+    With ``mesh`` given, every level's operators become row-sharded
+    :class:`~hypredrive_tpu.parallel.dist_matrix.DistEllMatrix` and the
+    smoother vectors are padded+sharded accordingly — the cycle then runs
+    multi-chip with ppermute halo exchanges."""
     csn = amg_args.coarsening
     itp = amg_args.interpolation
     rlx = amg_args.relaxation
@@ -170,17 +196,32 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
         A_c = sp.csr_matrix(R @ A_l @ P)   # Galerkin RAP (scipy SpGEMM)
         A_c.sort_indices()
 
-        E = EllMatrix.from_csr(A_l, dtype=dtype)
-        levels.append(AMGLevel(
-            A=E,
-            P=EllMatrix.from_csr(P, dtype=dtype),
-            R=EllMatrix.from_csr(R, dtype=dtype),
-            smooth_arrays=_smoother_arrays(kind, A_l, E, rlx.chebyshev,
-                                           weight),
-            smoother=kind,
-            pre_sweeps=pre,
-            post_sweeps=post,
-        ))
+        if mesh is not None:
+            from ...parallel.dist_matrix import DistEllMatrix
+
+            E = DistEllMatrix.from_csr(A_l, mesh, dtype=dtype)
+            sm = _pad_smoother_arrays(
+                _smoother_arrays(kind, A_l, E, rlx.chebyshev, weight),
+                E.shape[0], mesh)
+            levels.append(AMGLevel(
+                A=E,
+                P=DistEllMatrix.from_csr(P, mesh, dtype=dtype),
+                R=DistEllMatrix.from_csr(R, mesh, dtype=dtype),
+                smooth_arrays=sm, smoother=kind,
+                pre_sweeps=pre, post_sweeps=post,
+            ))
+        else:
+            E = EllMatrix.from_csr(A_l, dtype=dtype)
+            levels.append(AMGLevel(
+                A=E,
+                P=EllMatrix.from_csr(P, dtype=dtype),
+                R=EllMatrix.from_csr(R, dtype=dtype),
+                smooth_arrays=_smoother_arrays(kind, A_l, E, rlx.chebyshev,
+                                               weight),
+                smoother=kind,
+                pre_sweeps=pre,
+                post_sweeps=post,
+            ))
         if func_l is not None:
             func_l = func_l[cf > 0]
         A_l = A_c
@@ -188,13 +229,25 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
             break
 
     # coarsest level: dense inverse (ref coarse_type 9 = GE)
-    E_c = EllMatrix.from_csr(A_l, dtype=dtype)
+    if mesh is not None:
+        from ...parallel.dist_matrix import DistEllMatrix
+
+        E_c = DistEllMatrix.from_csr(A_l, mesh, dtype=dtype)
+        sm_c = _pad_smoother_arrays(
+            _smoother_arrays(kind, A_l, E_c, rlx.chebyshev, weight),
+            E_c.shape[0], mesh)
+        n_pad = E_c.shape[0]
+        dense = np.eye(n_pad)
+        dense[:A_l.shape[0], :A_l.shape[1]] = A_l.todense()
+    else:
+        E_c = EllMatrix.from_csr(A_l, dtype=dtype)
+        sm_c = _smoother_arrays(kind, A_l, E_c, rlx.chebyshev, weight)
+        dense = np.asarray(A_l.todense(), dtype=np.float64)
     levels.append(AMGLevel(
         A=E_c, P=None, R=None,
-        smooth_arrays=_smoother_arrays(kind, A_l, E_c, rlx.chebyshev, weight),
+        smooth_arrays=sm_c,
         smoother=kind, pre_sweeps=pre, post_sweeps=post,
     ))
-    dense = np.asarray(A_l.todense(), dtype=np.float64)
     try:
         inv = np.linalg.inv(dense)
     except np.linalg.LinAlgError:
@@ -206,6 +259,7 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
         coarse_inv=coarse_inv,
         cycle_type=0,
         max_iter=max(1, int(amg_args.max_iter)),
+        mesh=mesh,
     )
 
 

@@ -1,0 +1,144 @@
+"""Distributed (8 virtual CPU devices) tests — the reference simulates
+multi-node with multi-rank single-node (ref: tests/CMakeLists.txt:159);
+we simulate multi-chip with xla_force_host_platform_device_count."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from hypredrive_tpu.ops.csr import laplacian_3d_7pt, laplacian_2d_5pt
+from hypredrive_tpu.parallel import make_mesh, DistEllMatrix
+from hypredrive_tpu.parallel.dist_matrix import pad_vector
+from hypredrive_tpu.parallel.halo import build_halo_plan
+from hypredrive_tpu.ops.csr import row_partition
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "tests need the 8-device CPU mesh"
+    return make_mesh(8)
+
+
+def test_halo_plan_ring():
+    """1-D partition of a tridiagonal matrix needs only ±1 exchanges."""
+    import scipy.sparse as sp
+
+    n, p = 64, 8
+    A = sp.diags([np.ones(n - 1), 2 * np.ones(n), np.ones(n - 1)],
+                 [-1, 0, 1]).tocsr()
+    off = row_partition(n, p)
+    needed = [np.unique(A[off[s]:off[s + 1]].indices) for s in range(p)]
+    plan, recv = build_halo_plan(p, off, needed)
+    assert set(plan.offsets) == {1, p - 1}
+    # each shard needs exactly 1 value from each side
+    for idx in plan.send_idx:
+        assert idx.shape == (p, 1)
+
+
+def test_dist_matvec_matches_host(mesh, rng):
+    A = laplacian_3d_7pt(10)
+    D = DistEllMatrix.from_csr(A, mesh)
+    x = rng.standard_normal(1000)
+    xd = pad_vector(x, D.shape[1], mesh)
+    y = jax.jit(lambda D, x: D.matvec(x))(D, xd)
+    np.testing.assert_allclose(np.asarray(y)[:1000], A @ x, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(D.diagonal())[:1000], A.diagonal())
+
+
+def test_dist_matvec_padding(mesh, rng):
+    """Non-divisible sizes pad with identity rows that stay zero."""
+    A = laplacian_3d_7pt(7)  # 343 rows → pad 344
+    D = DistEllMatrix.from_csr(A, mesh)
+    assert D.shape[0] % 8 == 0
+    x = rng.standard_normal(343)
+    y = D.matvec(pad_vector(x, D.shape[1], mesh))
+    np.testing.assert_allclose(np.asarray(y)[:343], A @ x, rtol=1e-12)
+    assert np.abs(np.asarray(y)[343:]).max() == 0.0
+
+
+def test_dist_rectangular(mesh, rng):
+    """P/R-shaped rectangular operators work (grid transfers)."""
+    import scipy.sparse as sp
+
+    P_host = sp.random(96, 24, density=0.2, random_state=0, format="csr")
+    D = DistEllMatrix.from_csr(P_host, mesh)
+    xc = rng.standard_normal(24)
+    y = D.matvec(pad_vector(xc, D.shape[1], mesh))
+    np.testing.assert_allclose(np.asarray(y)[:96], P_host @ xc, rtol=1e-12,
+                               atol=1e-14)
+
+
+def test_dist_pcg_amg(mesh):
+    """Full multi-chip PCG+AMG: converges and matches single-chip counts."""
+    from hypredrive_tpu.precon.amg.hierarchy import setup_hierarchy
+    from hypredrive_tpu.precon.amg.cycle import amg_apply
+    from hypredrive_tpu.solvers.pcg import _pcg_core
+    from hypredrive_tpu.config.sections import AMG_SCHEMA
+
+    A = laplacian_3d_7pt(12)
+    n = A.shape[0]
+    D = DistEllMatrix.from_csr(A, mesh)
+    state = setup_hierarchy(A, AMG_SCHEMA.defaults(), mesh=mesh)
+    b = pad_vector(np.ones(n), D.shape[0], mesh)
+    x0 = pad_vector(np.zeros(n), D.shape[0], mesh)
+
+    @jax.jit
+    def solve(D, state, b, x0):
+        return _pcg_core(lambda v: D.matvec(v),
+                         lambda r: amg_apply(state, r),
+                         b, x0, 1e-8, 0.0, 100, True, 0)
+
+    x, iters, norm, done, _ = solve(D, state, b, x0)
+    assert bool(done)
+    x_np = np.asarray(x)[:n]
+    rel = np.linalg.norm(np.ones(n) - A @ x_np) / np.sqrt(n)
+    assert rel < 1e-7
+
+    # single-chip reference: iteration counts must agree (same algorithm)
+    from hypredrive_tpu.ops.device_matrix import EllMatrix
+
+    E = EllMatrix.from_csr(A)
+    s1 = setup_hierarchy(A, AMG_SCHEMA.defaults())
+    x1, iters1, *_ = jax.jit(lambda A, s, b, x0: _pcg_core(
+        lambda v: A.matvec(v), lambda r: amg_apply(s, r),
+        b, x0, 1e-8, 0.0, 100, True, 0))(
+            E, s1, jnp.ones(n), jnp.zeros(n))
+    assert abs(int(iters) - int(iters1)) <= 1
+
+
+def test_dist_gmres_jacobi(mesh):
+    from hypredrive_tpu.solvers.gmres import _gmres_core
+
+    A = laplacian_2d_5pt(16)  # 256 rows
+    n = A.shape[0]
+    D = DistEllMatrix.from_csr(A, mesh)
+    d = D.diagonal()
+    d_inv = jnp.where(d != 0, 1.0 / d, 1.0)
+    b = pad_vector(np.ones(n), D.shape[0], mesh)
+    x0 = pad_vector(np.zeros(n), D.shape[0], mesh)
+
+    @jax.jit
+    def solve(D, d_inv, b, x0):
+        return _gmres_core(lambda v: D.matvec(v), lambda r: d_inv * r,
+                           b, x0, 1e-8, 0.0, 200, 30, False)
+
+    x, iters, norm, done, _ = solve(D, d_inv, b, x0)
+    assert bool(done)
+    rel = np.linalg.norm(np.ones(n) - A @ np.asarray(x)[:n]) / np.sqrt(n)
+    assert rel < 1e-7
+
+
+def test_graft_entry_dryrun():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert int(out[1]) > 0
+    mod.dryrun_multichip(8)
