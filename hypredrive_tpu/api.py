@@ -127,12 +127,17 @@ class HypreDrive:
     def precon_create(self):
         """ref: HYPREDRV_PreconCreate (src/HYPREDRV.c:2793); honors the
         collective reuse decision."""
-        rebuild = True
-        if self._reuse_state is not None and self.precon is not None:
+        if self.precon is None:
+            rebuild = True
+            if self._reuse_state is not None:
+                self._reuse_state.note_rebuild(self.current_system_index)
+        elif self._reuse_state is not None:
             rebuild = self._reuse_state.should_rebuild(
                 self.current_system_index, self.stats
             )
-        if rebuild or self.precon is None:
+        else:
+            rebuild = True
+        if rebuild:
             from .precon import create_precon
 
             self.precon = create_precon(self.args.preconditioner, self.args)

@@ -226,14 +226,16 @@ def multiphysics_block_system(ncell: int, ndof: int = 3, seed: int = 7,
     t = np.arange(n)
     p = (t % ndof) * ncell + t // ndof
     A = A[np.ix_(p, p)].tolil()
-    # random sparse coupling between fields within a cell
+    # random sparse coupling between fields within a cell, scaled
+    # geometrically so no field's diagonal is overwhelmed
     couple = rng.uniform(-coupling, coupling, size=(ncell, ndof, ndof))
     for c in range(ncell):
         base = c * ndof
         for a in range(ndof):
             for b in range(ndof):
                 if a != b:
-                    A[base + a, base + b] += couple[c, a, b] * 10.0 ** (-min(a, b))
+                    s_ab = 10.0 ** (-(a + b) / 2.0)
+                    A[base + a, base + b] += couple[c, a, b] * s_ab
     A = sp.csr_matrix(A, dtype=dtype)
     A.sort_indices()
     dofmap = np.tile(np.arange(ndof), ncell).astype(np.int32)

@@ -1,20 +1,159 @@
-"""ILU preconditioners (placeholder — implemented in a later milestone).
+"""ILU preconditioners: bj-ilu0 / bj-iluk / bj-ilut.
 
-Target parity: ref src/internal/ilu.c — bj-ilu0/iluk/ilut with
-Jacobi-iteration triangular solves (the reference's own device-friendly
-switch: tri_solve off + lower/upper_jac_iters).
+Reference: src/internal/ilu.c — the option surface includes the
+device-friendly switch this implementation is built around:
+``tri_solve: off`` + ``lower_jac_iters``/``upper_jac_iters`` replaces the
+sequential triangular solves with Jacobi sweeps (exactly hypre's GPU
+path).  On TPU the sweeps are fused SpMV+AXPY chains.
+
+Factorization runs on host:
+  * ilu0  — native IKJ ILU(0) on the CSR pattern (vectorized per row
+    against prior rows via hashed lookups),
+  * iluk/ilut — SuperLU's ILUTP via scipy.sparse.linalg.spilu with
+    natural ordering (fill_level/droptol mapped to fill_factor/drop_tol).
+
+Apply: z = U⁻¹(L⁻¹ r) with each triangular solve approximated by
+``jac_iters`` Jacobi sweeps:  x ← D⁻¹(r − (T−D)x).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+
 from .base import Preconditioner
 from ..core.errors import HypredrvError, ErrorCode
+from ..ops.device_matrix import EllMatrix
+
+
+def ilu0_factor(A: sp.csr_matrix):
+    """ILU(0): L (unit lower) and U on A's pattern (host, IKJ order)."""
+    A = sp.csr_matrix(A, dtype=np.float64)
+    A.sort_indices()
+    n = A.shape[0]
+    indptr, indices = A.indptr, A.indices
+    data = A.data.copy()
+
+    # position lookup for (row, col) → data index
+    keys = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr)) * n \
+        + indices
+
+    def find(r, c):
+        q = r * n + c
+        p = np.searchsorted(keys, q)
+        if p < len(keys) and keys[p] == q:
+            return p
+        return -1
+
+    diag_pos = np.array([find(i, i) for i in range(n)], dtype=np.int64)
+    if (diag_pos < 0).any():
+        raise HypredrvError("ILU(0) requires a full diagonal",
+                            ErrorCode.MATRIX)
+
+    for i in range(n):
+        lo, hi = indptr[i], indptr[i + 1]
+        row_cols = indices[lo:hi]
+        for kk in range(lo, hi):
+            k = indices[kk]
+            if k >= i:
+                break
+            dk = data[diag_pos[k]]
+            if dk == 0:
+                continue
+            lik = data[kk] / dk
+            data[kk] = lik
+            # subtract lik * U[k, j] for j in row i's pattern, j > k
+            uk_lo, uk_hi = indptr[k], indptr[k + 1]
+            uk_cols = indices[uk_lo:uk_hi]
+            sel = uk_cols > k
+            common, ai, bi = np.intersect1d(
+                row_cols, uk_cols[sel], return_indices=True)
+            if len(common):
+                data[lo + ai] -= lik * data[uk_lo + np.flatnonzero(sel)[bi]]
+
+    L = sp.csr_matrix((data.copy(), indices.copy(), indptr.copy()),
+                      shape=A.shape)
+    U = L.copy()
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    L.data[indices > rows] = 0.0
+    L.data[indices == rows] = 1.0
+    U.data[indices < rows] = 0.0
+    L.eliminate_zeros()
+    U.eliminate_zeros()
+    return L.tocsr(), U.tocsr()
+
+
+def _tri_jacobi_apply(state, r):
+    """z = U⁻¹ L⁻¹ r via Jacobi sweeps on each triangular factor.
+
+    L is stored as its *strict* lower part (unit diagonal):
+        x_{k+1} = r − L_strict x_k        (nilpotent → exact in ≤depth sweeps)
+    U is stored whole:
+        y_{k+1} = y_k + D_U⁻¹ (x − U y_k)
+    """
+    L, U, l_dinv, u_dinv, l_iters, u_iters = state
+
+    x = r
+    x = jax.lax.fori_loop(0, l_iters, lambda _, x: r - L.matvec(x), x)
+
+    y = u_dinv * x
+
+    def u_body(_, y):
+        return y + u_dinv * (x - U.matvec(y))
+
+    y = jax.lax.fori_loop(0, u_iters, u_body, y)
+    return y
 
 
 class ILUPrecon(Preconditioner):
     method = "ilu"
-    apply_fn = None
+    apply_fn = staticmethod(_tri_jacobi_apply)
 
     def setup(self, system):
-        raise HypredrvError("ILU preconditioner not yet implemented",
-                            ErrorCode.NOT_IMPLEMENTED)
+        A_host = system.M_host if system.M_host is not None else system.A_host
+        if A_host is None:
+            A_host = system.A.to_csr()
+        itype = int(self.args.get("type", 0))
+        fill = int(self.args.get("fill_level", 0))
+        droptol = float(self.args.get("droptol", 1e-2))
+
+        if itype in (1, 11, 21, 31, 41) or fill > 0:
+            # ILUT/ILU(k>0) via SuperLU ILUTP, natural ordering
+            import scipy.sparse.linalg as spla
+
+            lu = spla.spilu(sp.csc_matrix(A_host),
+                            drop_tol=droptol if itype % 10 == 1 else 1e-12,
+                            fill_factor=max(1.0, 1.0 + fill * 2.0),
+                            permc_spec="NATURAL",
+                            diag_pivot_thresh=0.0)
+            L = sp.csr_matrix(lu.L)
+            U = sp.csr_matrix(lu.U)
+        else:
+            L, U = ilu0_factor(A_host)
+
+        dtype = system.dtype
+        u_diag = U.diagonal()
+        u_dinv = jnp.asarray(
+            np.where(u_diag != 0, 1.0 / u_diag, 1.0), dtype=dtype)
+        l_dinv = jnp.ones(A_host.shape[0], dtype=dtype)
+        # strict triangles for the sweep form
+        Ls = sp.csr_matrix(sp.tril(L, k=-1))
+        Us = sp.csr_matrix(U)
+        tri_solve = bool(self.args.get("tri_solve", True))
+        l_iters = int(self.args.get("lower_jac_iters", 5))
+        u_iters = int(self.args.get("upper_jac_iters", 5))
+        if tri_solve:
+            # exact sequential tri-solve has no device-friendly form; use
+            # enough Jacobi sweeps to converge the triangular solves (the
+            # sweeps converge in ≤ depth(L) steps; cap for safety)
+            l_iters = max(l_iters, 10)
+            u_iters = max(u_iters, 10)
+        self.state = (
+            EllMatrix.from_csr(Ls, dtype=dtype),
+            EllMatrix.from_csr(Us, dtype=dtype),
+            l_dinv, u_dinv,
+            jnp.int32(max(1, l_iters)), jnp.int32(max(1, u_iters)),
+        )
+        self.is_setup = True

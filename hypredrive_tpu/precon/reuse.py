@@ -21,6 +21,11 @@ class PreconReuseState:
 
     # -- decision ----------------------------------------------------------
 
+    def note_rebuild(self, ls_id: int):
+        """Record an unconditional rebuild (first build of a precon)."""
+        self.solves_since_rebuild = 0
+        self.last_rebuild_id = ls_id
+
     def should_rebuild(self, ls_id: int, stats=None) -> bool:
         """Collective rebuild decision
         (ref: PreconReuseShouldRebuildCollective)."""
