@@ -322,7 +322,8 @@ MGR_KRYLOV_SCHEMA = Schema("krylov", {
 
 MGR_LEVEL_SCHEMA = Schema("level", {
     "f_dofs": F("any", [], help="int list or dof-label list"),
-    "f_relaxation": F("any", "none",
+    # ref default: single-sweep Jacobi (type 7, mgr.c MGRfrlxSetDefaultArgs)
+    "f_relaxation": F("any", "single",
                       help="none|single|jacobi|l1-jacobi|v(1,0)|amg|mgr|chebyshev|"
                            "ilu|ge|spdirect|ge-piv|ge-inv|fsai|schwarz or "
                            "nested map / krylov block"),
@@ -342,8 +343,10 @@ MGR_SCHEMA = Schema("mgr", {
     "num_levels": F("int", -1, help="-1 = infer from level map"),
     "non_c_to_f": F("bool", True),
     "pmax": F("int", 0),
-    "cycle": F("enum", 0, V.MGR_CYCLE),
-    "cycle_smooth_pos": F("enum", 0, V.MGR_SMOOTH_POS),
+    # cycle accepts v|w|1|2|v(1,0)|v(0,1)|v(1,1)|w(...) — the (pre,post)
+    # suffix drives cycle_smooth_pos (ref: MGRCycleSet, mgr.c:611-673)
+    "cycle": F("any", "v"),
+    "cycle_smooth_pos": F("enum", 1, V.MGR_SMOOTH_POS),
     "nonglk_max_elmts": F("int", 1),
     "level": Schema("level", {}, open_keys=True,
                     help="map of level index -> level config"),

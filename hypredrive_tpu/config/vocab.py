@@ -122,8 +122,11 @@ MGR_COARSEST = Choices({
     "schwarz": 1001,
 })
 
-MGR_CYCLE = Choices({"v": 0, "w": 1})
-MGR_SMOOTH_POS = Choices({"pre": 0, "post": 1, "pre+post": 2})
+MGR_CYCLE = Choices({"v": 1, "w": 2})
+# (pre,post) relaxation pattern: 1=(1,0), 2=(0,1), 3=(1,1)
+# (ref: MGRCycleSet, mgr.c:611-673)
+MGR_SMOOTH_POS = Choices({"pre": 1, "post": 2, "pre+post": 3, "1": 1,
+                          "2": 2, "3": 3})
 
 # --- Solver / preconditioner type maps ----------------------------------
 

@@ -107,6 +107,50 @@ def _tri_jacobi_apply(state, r):
     return y
 
 
+def build_ilu_state(A_host: sp.csr_matrix, args, dtype):
+    """Factor on host → device apply state (shared with MGR components)."""
+    itype = int(args.get("type", 0))
+    fill = int(args.get("fill_level", 0))
+    droptol = float(args.get("droptol", 1e-2))
+
+    if itype in (1, 11, 21, 31, 41) or fill > 0:
+        # ILUT/ILU(k>0) via SuperLU ILUTP, natural ordering
+        import scipy.sparse.linalg as spla
+
+        lu = spla.spilu(sp.csc_matrix(A_host),
+                        drop_tol=droptol if itype % 10 == 1 else 1e-12,
+                        fill_factor=max(1.0, 1.0 + fill * 2.0),
+                        permc_spec="NATURAL",
+                        diag_pivot_thresh=0.0)
+        L = sp.csr_matrix(lu.L)
+        U = sp.csr_matrix(lu.U)
+    else:
+        L, U = ilu0_factor(A_host)
+
+    u_diag = U.diagonal()
+    u_dinv = jnp.asarray(
+        np.where(u_diag != 0, 1.0 / u_diag, 1.0), dtype=dtype)
+    l_dinv = jnp.ones(A_host.shape[0], dtype=dtype)
+    # strict lower triangle for the sweep form
+    Ls = sp.csr_matrix(sp.tril(L, k=-1))
+    Us = sp.csr_matrix(U)
+    tri_solve = bool(args.get("tri_solve", True))
+    l_iters = int(args.get("lower_jac_iters", 5))
+    u_iters = int(args.get("upper_jac_iters", 5))
+    if tri_solve:
+        # exact sequential tri-solve has no device-friendly form; use
+        # enough Jacobi sweeps to converge the triangular solves (they
+        # are exact in ≤ depth(L) sweeps; cap for safety)
+        l_iters = max(l_iters, 10)
+        u_iters = max(u_iters, 10)
+    return (
+        EllMatrix.from_csr(Ls, dtype=dtype),
+        EllMatrix.from_csr(Us, dtype=dtype),
+        l_dinv, u_dinv,
+        jnp.int32(max(1, l_iters)), jnp.int32(max(1, u_iters)),
+    )
+
+
 class ILUPrecon(Preconditioner):
     method = "ilu"
     apply_fn = staticmethod(_tri_jacobi_apply)
@@ -115,45 +159,5 @@ class ILUPrecon(Preconditioner):
         A_host = system.M_host if system.M_host is not None else system.A_host
         if A_host is None:
             A_host = system.A.to_csr()
-        itype = int(self.args.get("type", 0))
-        fill = int(self.args.get("fill_level", 0))
-        droptol = float(self.args.get("droptol", 1e-2))
-
-        if itype in (1, 11, 21, 31, 41) or fill > 0:
-            # ILUT/ILU(k>0) via SuperLU ILUTP, natural ordering
-            import scipy.sparse.linalg as spla
-
-            lu = spla.spilu(sp.csc_matrix(A_host),
-                            drop_tol=droptol if itype % 10 == 1 else 1e-12,
-                            fill_factor=max(1.0, 1.0 + fill * 2.0),
-                            permc_spec="NATURAL",
-                            diag_pivot_thresh=0.0)
-            L = sp.csr_matrix(lu.L)
-            U = sp.csr_matrix(lu.U)
-        else:
-            L, U = ilu0_factor(A_host)
-
-        dtype = system.dtype
-        u_diag = U.diagonal()
-        u_dinv = jnp.asarray(
-            np.where(u_diag != 0, 1.0 / u_diag, 1.0), dtype=dtype)
-        l_dinv = jnp.ones(A_host.shape[0], dtype=dtype)
-        # strict triangles for the sweep form
-        Ls = sp.csr_matrix(sp.tril(L, k=-1))
-        Us = sp.csr_matrix(U)
-        tri_solve = bool(self.args.get("tri_solve", True))
-        l_iters = int(self.args.get("lower_jac_iters", 5))
-        u_iters = int(self.args.get("upper_jac_iters", 5))
-        if tri_solve:
-            # exact sequential tri-solve has no device-friendly form; use
-            # enough Jacobi sweeps to converge the triangular solves (the
-            # sweeps converge in ≤ depth(L) steps; cap for safety)
-            l_iters = max(l_iters, 10)
-            u_iters = max(u_iters, 10)
-        self.state = (
-            EllMatrix.from_csr(Ls, dtype=dtype),
-            EllMatrix.from_csr(Us, dtype=dtype),
-            l_dinv, u_dinv,
-            jnp.int32(max(1, l_iters)), jnp.int32(max(1, u_iters)),
-        )
+        self.state = build_ilu_state(A_host, self.args, system.dtype)
         self.is_setup = True

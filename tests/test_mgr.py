@@ -1,0 +1,169 @@
+"""MGR + Schwarz + component composition tests
+(reference analogues: tests/test_mgr_nested_yaml.c, test_krylov.c)."""
+
+import numpy as np
+import pytest
+
+import hypredrive_tpu as hd
+
+
+def _run(precon_cfg, ncell=400, ndof=3, tol=1e-6, solver="gmres",
+         max_iter=150, dof_labels=None):
+    ls = {
+        "generate": {"kind": "multiphysics", "ncell": ncell, "ndof": ndof},
+        "rhs_mode": "ones",
+    }
+    if dof_labels:
+        ls["dof_labels"] = dof_labels
+    cfg = {
+        "general": {},
+        "linear_system": ls,
+        "solver": {solver: {"relative_tol": tol, "max_iter": max_iter}},
+        "preconditioner": precon_cfg,
+    }
+    drv = hd.HypreDrive()
+    try:
+        drv.input_args_from_dict(cfg)
+        s = drv.linear_system_build()
+        drv.precon_create()
+        drv.linear_solver_create()
+        drv.linear_solver_setup()
+        res = drv.linear_solver_apply()
+        x = drv.get_solution()
+        r = np.ones(s.num_rows) - s.A_host @ x
+        return res, np.linalg.norm(r) / np.sqrt(s.num_rows)
+    finally:
+        drv.destroy()
+
+
+def test_mgr_two_level_ex3_style():
+    """ex3-shaped config: 2 reduction levels + AMG coarse."""
+    res, true_rel = _run({"mgr": {
+        "level": {
+            0: {"f_dofs": [2], "prolongation_type": "jacobi"},
+            1: {"f_dofs": [1], "g_relaxation": "l1-hsgs",
+                "restriction_type": "columped"},
+        },
+        "coarsest_level": "amg",
+    }})
+    assert res.converged
+    assert true_rel < 1e-4
+
+
+def test_mgr_nested_krylov_frelax():
+    """f_relaxation: krylov block (ref: ex3-mgr_Frelax_gmres.yml)."""
+    res, true_rel = _run({"mgr": {
+        "level": {0: {"f_dofs": [2],
+                      "f_relaxation": {"krylov": {"type": "gmres",
+                                                  "max_iter": 5}}}},
+        "coarsest_level": "spdirect",
+    }})
+    assert res.converged and res.iters <= 20
+    assert true_rel < 1e-5
+
+
+def test_mgr_nested_mgr():
+    """f_relaxation: mgr (nested MGR, ref: ex7-nested-mgr.yml)."""
+    res, true_rel = _run({"mgr": {
+        "level": {0: {
+            "f_dofs": [1, 2],
+            "f_relaxation": {"mgr": {
+                "level": {0: {"f_dofs": [2]}},
+                "coarsest_level": "spdirect",
+            }},
+        }},
+        "coarsest_level": "amg",
+    }})
+    assert res.converged
+    assert true_rel < 1e-4
+
+
+def test_mgr_coarsest_variants():
+    for cls in ("spdirect", "ilu", "amg"):
+        res, true_rel = _run({"mgr": {
+            "level": {0: {"f_dofs": [1, 2],
+                          "f_relaxation": "chebyshev"}},
+            "coarsest_level": cls,
+        }})
+        assert res.converged, cls
+
+
+def test_mgr_dof_label_names():
+    """f_dofs by symbolic name through linear_system.dof_labels."""
+    res, true_rel = _run({"mgr": {
+        "level": {0: {"f_dofs": ["saturation"]}},
+        "coarsest_level": "spdirect",
+    }}, dof_labels={"pressure": 0, "density": 1, "saturation": 2})
+    assert res.converged
+
+
+def test_mgr_requires_dofmap():
+    from hypredrive_tpu.core.errors import HypredrvError
+
+    cfg = {
+        "general": {},
+        "linear_system": {
+            "generate": {"kind": "laplacian_7pt", "nx": 6},  # no dofmap
+            "rhs_mode": "ones",
+        },
+        "solver": "gmres",
+        "preconditioner": {"mgr": {"level": {0: {"f_dofs": [0]}},
+                                   "coarsest_level": "amg"}},
+    }
+    drv = hd.HypreDrive()
+    try:
+        drv.input_args_from_dict(cfg)
+        drv.linear_system_build()
+        drv.precon_create()
+        drv.linear_solver_create()
+        with pytest.raises(HypredrvError, match="dofmap"):
+            drv.linear_solver_setup()
+    finally:
+        drv.destroy()
+
+
+def test_mgr_w_cycle_and_positions():
+    res, _ = _run({"mgr": {
+        "cycle": "w(1,1)",
+        "level": {0: {"f_dofs": [2]}},
+        "coarsest_level": "spdirect",
+    }})
+    assert res.converged
+
+
+def test_schwarz_ras():
+    res, true_rel = _run("schwarz", solver="gmres")
+    assert res.converged and true_rel < 1e-4
+
+
+def test_schwarz_variants():
+    res_ras, _ = _run({"schwarz": {"variant": "ras-iluk", "overlap": 1}})
+    res_as, _ = _run({"schwarz": {"variant": "as-iluk", "overlap": 1}})
+    assert res_ras.converged and res_as.converged
+
+
+def test_schwarz_on_laplacian():
+    cfg = {
+        "general": {},
+        "linear_system": {
+            "generate": {"kind": "laplacian_7pt", "nx": 8},
+            "rhs_mode": "ones",
+        },
+        "solver": {"pcg": {"relative_tol": 1e-8, "max_iter": 200}},
+        "preconditioner": {"schwarz": {"variant": "ras-spdirect",
+                                       "overlap": 1}},
+    }
+    drv = hd.HypreDrive()
+    try:
+        drv.input_args_from_dict(cfg)
+        s = drv.linear_system_build()
+        drv.precon_create()
+        drv.linear_solver_create()
+        drv.linear_solver_setup()
+        res = drv.linear_solver_apply()
+        assert res.converged
+        x = drv.get_solution()
+        r = np.ones(512) - s.A_host @ x
+        assert np.linalg.norm(r) / np.sqrt(512) < 1e-7
+    finally:
+        drv.destroy()
