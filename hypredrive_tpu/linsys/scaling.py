@@ -132,18 +132,7 @@ class ScalingContext:
 
 
 def _scale_ell(A: EllMatrix, sl, sr) -> EllMatrix:
-    vals = A.vals
-    tail_vals = A.tail_vals
-    if sl is not None:
-        vals = vals * sl[:, None]
-        if A.has_tail:
-            tail_vals = tail_vals * sl[A.tail_rows]
-    if sr is not None:
-        vals = vals * sr[A.cols]
-        if A.has_tail:
-            tail_vals = tail_vals * sr[A.tail_cols]
-    return EllMatrix(A.cols, vals, A.tail_rows, A.tail_cols, tail_vals,
-                     A.shape, A.nnz)
+    return A.scale(sl, sr)
 
 
 def _scale_csr(A, sl, sr):

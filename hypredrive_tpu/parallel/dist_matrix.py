@@ -1,23 +1,27 @@
-"""Row-sharded ELL matrix with shard_map SpMV + ppermute halo exchange.
+"""Row-sharded hybrid matrix with shard_map SpMV + ppermute halo exchange.
 
 The distributed twin of :class:`~hypredrive_tpu.ops.device_matrix.
 EllMatrix`: rows are block-partitioned over a 1-D mesh (the reference's
-ParCSR decomposition, ref: SURVEY §2.9); each shard stores a padded local
-ELL block whose column indices address the extended local vector
-``[x_local | halos]`` filled by the static ppermute schedule from
-:mod:`.halo`.
+ParCSR decomposition, ref: SURVEY §2.9).  Each shard stores a local
+DIA+ELL+COO hybrid whose column indices address the extended local
+vector ``[x_local | halos]`` filled by the static ppermute schedule from
+:mod:`.halo` — so the DIA fast path (shifted VPU multiply-adds instead
+of scalar-core gathers) applies per shard, and halo traffic rides the
+ICI inside the same XLA program.
+
+Shard uniformity: all shards share one static structure (union of DIA
+offsets, max ELL width, max tail) so a single shard_map kernel serves
+every shard.
 
 Global-view semantics: vectors are ordinary jax Arrays sharded with
 ``NamedSharding(mesh, P('rows'))`` (padded to equal shard sizes with
 identity rows), so the *same* Krylov solver code runs single-chip and
-multi-chip — XLA inserts psum for the dot products, and the matvec is
-this class's shard_mapped kernel.
+multi-chip — XLA inserts psum for the dot products.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -28,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.csr import row_partition
+from ..ops.device_matrix import EllMatrix
 from .mesh import ROWS_AXIS
 from .halo import build_halo_plan
 
@@ -41,16 +46,22 @@ def _round_up(x: int, m: int) -> int:
 class DistEllMatrix:
     """Row-sharded sparse matrix (square or rectangular).
 
-    cols/vals: (n_shards·rows_max, K) sharded on axis 0 — column indices
-               address x_ext positions
-    send_idx:  per offset: (n_shards, S_d) sharded on axis 0
-    mesh/offsets/shapes: static aux
+    Stacked local hybrids, all sharded on axis 0 (= shard axis):
+      dia_data: (n_shards, D, rows_max) or None
+      cols/vals: (n_shards, rows_max, K)
+      tail_*:   (n_shards, T)
+      send_idx: per offset (n_shards, S_d)
     """
 
+    dia_data: Optional[jnp.ndarray]
     cols: jnp.ndarray
     vals: jnp.ndarray
+    tail_rows: jnp.ndarray
+    tail_cols: jnp.ndarray
+    tail_vals: jnp.ndarray
     send_idx: Tuple[jnp.ndarray, ...]
     mesh: Mesh
+    dia_offsets: Tuple[int, ...]     # static
     offsets: Tuple[int, ...]         # ppermute shard distances (static)
     shape: Tuple[int, int]           # padded global shape
     orig_shape: Tuple[int, int]      # before padding
@@ -59,14 +70,15 @@ class DistEllMatrix:
     ext_size: int
 
     def tree_flatten(self):
-        return ((self.cols, self.vals, self.send_idx),
-                (self.mesh, self.offsets, self.shape, self.orig_shape,
-                 self.nnz, self.local_max, self.ext_size))
+        return ((self.dia_data, self.cols, self.vals, self.tail_rows,
+                 self.tail_cols, self.tail_vals, self.send_idx),
+                (self.mesh, self.dia_offsets, self.offsets, self.shape,
+                 self.orig_shape, self.nnz, self.local_max, self.ext_size))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        cols, vals, send_idx = children
-        return cls(cols, vals, send_idx, *aux)
+        dia, cols, vals, tr, tc, tv, send_idx = children
+        return cls(dia, cols, vals, tr, tc, tv, send_idx, *aux)
 
     @property
     def dtype(self):
@@ -86,9 +98,8 @@ class DistEllMatrix:
         """Partition a host CSR matrix over the mesh rows axis.
 
         Square matrices are padded with identity rows/cols to a multiple
-        of n_shards (padded entries stay exactly zero through solves:
-        b_pad = 0, x0_pad = 0 ⇒ r_pad ≡ 0).  Rectangular operators (P/R)
-        pad rows and columns independently.
+        of n_shards (padded entries stay exactly zero through solves);
+        rectangular operators (P/R) pad rows and columns independently.
         """
         A = sp.csr_matrix(A)
         n_shards = int(mesh.devices.size)
@@ -111,69 +122,105 @@ class DistEllMatrix:
         col_off = row_partition(cols_pad, n_shards)
         rows_max = int((row_off[1:] - row_off[:-1]).max())
 
-        # per-shard needed columns
+        # per-shard needed columns → halo plan
         needed = []
-        for s in range(n_shards):
-            lo, hi = int(row_off[s]), int(row_off[s + 1])
-            sub = A[lo:hi]
-            needed.append(np.unique(sub.indices))
-        plan, recv_pos = build_halo_plan(n_shards, col_off, needed)
-
-        # per-shard ELL with remapped columns
-        k = max(1, int(np.diff(A.indptr).max(initial=0)))
-        all_cols = np.zeros((n_shards, rows_max, k), dtype=np.int32)
-        all_vals = np.zeros((n_shards, rows_max, k), dtype=np.float64)
+        subs = []
         for s in range(n_shards):
             lo, hi = int(row_off[s]), int(row_off[s + 1])
             sub = sp.csr_matrix(A[lo:hi])
             sub.sort_indices()
-            nr = hi - lo
-            row_nnz = np.diff(sub.indptr)
-            rws = np.repeat(np.arange(nr), row_nnz)
-            pos = np.arange(sub.nnz) - np.repeat(sub.indptr[:-1], row_nnz)
-            # remap global cols to x_ext positions
+            subs.append(sub)
+            needed.append(np.unique(sub.indices))
+        plan, recv_pos = build_halo_plan(n_shards, col_off, needed)
+
+        # remap each shard's columns into x_ext positions
+        locals_remapped = []
+        for s in range(n_shards):
+            sub = subs[s]
             g = sub.indices.astype(np.int64)
             local = (g >= col_off[s]) & (g < col_off[s + 1])
             mapped = np.empty(len(g), dtype=np.int64)
             mapped[local] = g[local] - col_off[s]
             if (~local).any():
                 rp = recv_pos[s]
-                mapped[~local] = np.array([rp[int(c)] for c in g[~local]],
-                                          dtype=np.int64)
-            all_cols[s, rws, pos] = mapped
-            all_vals[s, rws, pos] = sub.data
+                mapped[~local] = np.array(
+                    [rp[int(c)] for c in g[~local]], dtype=np.int64)
+            loc = sp.csr_matrix(
+                (sub.data, mapped, sub.indptr),
+                shape=(rows_max, plan.ext_size))
+            loc.sort_indices()
+            locals_remapped.append(loc)
 
-        rows_sh = NamedSharding(mesh, P(ROWS_AXIS))
-        cols_dev = jax.device_put(
-            all_cols.reshape(n_shards * rows_max, k), rows_sh)
-        vals_dev = jax.device_put(
-            all_vals.reshape(n_shards * rows_max, k).astype(dtype), rows_sh)
+        # pass 1: discover per-shard structure; unify
+        probes = [EllMatrix.from_csr(loc, dtype=dtype)
+                  for loc in locals_remapped]
+        union_offsets = tuple(sorted(set().union(
+            *(set(p.dia_offsets) for p in probes))))
+        max_k = max(p.k for p in probes)
+        max_t = max(p.tail_rows.shape[0] for p in probes)
+
+        # pass 2: rebuild with pinned structure
+        hybrids = [EllMatrix.from_csr(
+            loc, dtype=dtype,
+            force_dia_offsets=union_offsets or None,
+            k=max_k, min_tail=max_t) for loc in locals_remapped]
+
+        rows_sh3 = NamedSharding(mesh, P(ROWS_AXIS, None, None))
+        rows_sh2 = NamedSharding(mesh, P(ROWS_AXIS, None))
+
+        def stack(getter, sharding):
+            return jax.device_put(
+                jnp.stack([getter(h) for h in hybrids]), sharding)
+
+        dia = None
+        if union_offsets:
+            dia = stack(lambda h: h.dia_data, rows_sh3)
+        cols = stack(lambda h: h.cols, rows_sh3)
+        vals = stack(lambda h: h.vals, rows_sh3)
+        tr = stack(lambda h: h.tail_rows, rows_sh2)
+        tc = stack(lambda h: h.tail_cols, rows_sh2)
+        tv = stack(lambda h: h.tail_vals, rows_sh2)
         send_dev = tuple(
-            jax.device_put(idx, rows_sh) for idx in plan.send_idx)
+            jax.device_put(idx, rows_sh2) for idx in plan.send_idx)
 
         return cls(
-            cols=cols_dev, vals=vals_dev, send_idx=send_dev, mesh=mesh,
-            offsets=plan.offsets, shape=(rows_pad, cols_pad),
-            orig_shape=(n_rows, n_cols), nnz=int(A.nnz),
-            local_max=plan.local_max, ext_size=plan.ext_size)
+            dia_data=dia, cols=cols, vals=vals,
+            tail_rows=tr, tail_cols=tc, tail_vals=tv,
+            send_idx=send_dev, mesh=mesh,
+            dia_offsets=union_offsets, offsets=plan.offsets,
+            shape=(rows_pad, cols_pad), orig_shape=(n_rows, n_cols),
+            nnz=int(A.nnz), local_max=plan.local_max,
+            ext_size=plan.ext_size)
 
     # ------------------------------------------------------------------
     # kernels
     # ------------------------------------------------------------------
 
+    def _local(self, dia, cols, vals, tr, tc, tv) -> EllMatrix:
+        rows_max = self.shape[0] // self.n_shards
+        return EllMatrix(
+            cols=cols[0], vals=vals[0],
+            tail_rows=tr[0], tail_cols=tc[0], tail_vals=tv[0],
+            shape=(rows_max, self.ext_size), nnz=self.nnz,
+            dia_data=dia[0] if dia is not None else None,
+            dia_offsets=self.dia_offsets)
+
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         """y = A @ x, x sharded P('rows') with length shape[1]."""
         n_sh = self.n_shards
-        rows_max = self.shape[0] // n_sh
         local_cols = self.shape[1] // n_sh
         perm = [tuple(((i, (i + d) % n_sh) for i in range(n_sh)))
                 for d in self.offsets]
         offsets = self.offsets
         local_max = self.local_max
-        ext_size = self.ext_size
+        has_dia = self.dia_data is not None
 
-        def kernel(cols, vals, x_loc, *send_idx):
-            # x_loc: (local_cols,) this shard's slice
+        def kernel(*args):
+            if has_dia:
+                dia, cols, vals, tr, tc, tv, x_loc, *send_idx = args
+            else:
+                cols, vals, tr, tc, tv, x_loc, *send_idx = args
+                dia = None
             parts = [x_loc]
             if local_max > local_cols:
                 parts.append(jnp.zeros(local_max - local_cols, x_loc.dtype))
@@ -182,32 +229,68 @@ class DistEllMatrix:
                 recv = jax.lax.ppermute(buf, ROWS_AXIS, perm[k])
                 parts.append(recv)
             x_ext = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-            y = jnp.einsum("rk,rk->r", vals, x_ext[cols])
-            return y
+            E = self._local(dia, cols, vals, tr, tc, tv)
+            return E.matvec(x_ext)
 
-        in_specs = ((P(ROWS_AXIS, None), P(ROWS_AXIS, None), P(ROWS_AXIS))
-                    + tuple(P(ROWS_AXIS, None) for _ in offsets))
+        spec3 = P(ROWS_AXIS, None, None)
+        spec2 = P(ROWS_AXIS, None)
+        in_specs = (((spec3,) if has_dia else ())
+                    + (spec3, spec3, spec2, spec2, spec2, P(ROWS_AXIS))
+                    + tuple(spec2 for _ in offsets))
         f = shard_map(kernel, mesh=self.mesh, in_specs=in_specs,
                       out_specs=P(ROWS_AXIS))
-        return f(self.cols, self.vals, x, *self.send_idx)
+        args = (((self.dia_data,) if has_dia else ())
+                + (self.cols, self.vals, self.tail_rows, self.tail_cols,
+                   self.tail_vals, x) + self.send_idx)
+        return f(*args)
 
     def diagonal(self) -> jnp.ndarray:
-        """diag(A) for square matrices (x_ext position of the diagonal in
-        row r of shard s is the local position r)."""
-        n_sh = self.n_shards
-        rows_max = self.shape[0] // n_sh
+        """diag(A) for square matrices (the global diagonal of shard s,
+        row r sits at local x_ext position r)."""
+        has_dia = self.dia_data is not None
 
-        def kernel(cols, vals):
-            r = jnp.arange(rows_max, dtype=cols.dtype)[:, None]
-            return jnp.sum(jnp.where(cols == r, vals, 0.0), axis=1)
+        def kernel(*args):
+            if has_dia:
+                dia, cols, vals, tr, tc, tv = args
+            else:
+                cols, vals, tr, tc, tv = args
+                dia = None
+            E = self._local(dia, cols, vals, tr, tc, tv)
+            return E.diagonal()
 
-        f = shard_map(kernel, mesh=self.mesh,
-                      in_specs=(P(ROWS_AXIS, None), P(ROWS_AXIS, None)),
+        spec3 = P(ROWS_AXIS, None, None)
+        spec2 = P(ROWS_AXIS, None)
+        in_specs = (((spec3,) if has_dia else ())
+                    + (spec3, spec3, spec2, spec2, spec2))
+        f = shard_map(kernel, mesh=self.mesh, in_specs=in_specs,
                       out_specs=P(ROWS_AXIS))
-        return f(self.cols, self.vals)
+        args = (((self.dia_data,) if has_dia else ())
+                + (self.cols, self.vals, self.tail_rows, self.tail_cols,
+                   self.tail_vals))
+        return f(*args)
 
     def row_l1_norms(self) -> jnp.ndarray:
-        return jnp.sum(jnp.abs(self.vals), axis=1)
+        has_dia = self.dia_data is not None
+
+        def kernel(*args):
+            if has_dia:
+                dia, cols, vals, tr, tc, tv = args
+            else:
+                cols, vals, tr, tc, tv = args
+                dia = None
+            E = self._local(dia, cols, vals, tr, tc, tv)
+            return E.row_l1_norms()
+
+        spec3 = P(ROWS_AXIS, None, None)
+        spec2 = P(ROWS_AXIS, None)
+        in_specs = (((spec3,) if has_dia else ())
+                    + (spec3, spec3, spec2, spec2, spec2))
+        f = shard_map(kernel, mesh=self.mesh, in_specs=in_specs,
+                      out_specs=P(ROWS_AXIS))
+        args = (((self.dia_data,) if has_dia else ())
+                + (self.cols, self.vals, self.tail_rows, self.tail_cols,
+                   self.tail_vals))
+        return f(*args)
 
 
 def pad_vector(v: np.ndarray, n_pad: int, mesh: Mesh, dtype=jnp.float64):
