@@ -54,23 +54,35 @@ def main():
     x = jnp.ones(n, dtype=dtype)
     b = jnp.ones(n, dtype=dtype)
 
+    # NOTE on timing: each host→device dispatch through a remote-TPU
+    # tunnel costs ~20 ms, and block_until_ready is unreliable there, so
+    # all kernels repeat on-device via lax.fori_loop and timing barriers
+    # are forced readbacks (np.asarray).
+
     # ---- SpMV throughput -------------------------------------------------
-    spmv = jax.jit(lambda A, x: A.matvec(x))
-    y = spmv(A, x)
-    y.block_until_ready()  # compile
+    @jax.jit
+    def spmv_loop(A, x, n_reps):
+        def body(_, v):
+            w = A.matvec(v)
+            return w / jnp.max(jnp.abs(w))
+        return jax.lax.fori_loop(0, n_reps, body, x)
+
+    np.asarray(spmv_loop(A, x, 2))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(reps):
-        y = spmv(A, y / jnp.max(jnp.abs(y)))
-    y.block_until_ready()
+    np.asarray(spmv_loop(A, x, reps))
     spmv_t = (time.perf_counter() - t0) / reps
     spmv_nnz_s = nnz / spmv_t
 
     # ---- AMG V-cycle throughput -------------------------------------------
-    vcycle = jax.jit(lambda s, r: amg_apply(s, r))
-    z = vcycle(state, b)
-    z.block_until_ready()
+    @jax.jit
+    def vcycle_loop(s, r, n_reps):
+        def body(_, v):
+            w = amg_apply(s, v)
+            return w / jnp.max(jnp.abs(w))
+        return jax.lax.fori_loop(0, n_reps, body, r)
+
     # nnz touched per cycle: smoothing sweeps + residual on each level
-    # (pre+post Chebyshev(order) ≈ order SpMVs each + 1 residual) + P/R
+    # (pre+post Chebyshev(order) ≈ 2·order−1 SpMVs each + 1 residual) + P/R
     cyc_nnz = 0
     for lv in state.levels[:-1]:
         sweeps = lv.pre_sweeps + lv.post_sweeps
@@ -78,10 +90,9 @@ def main():
                  if lv.smoother == "chebyshev" else 1)
         cyc_nnz += lv.A.nnz * (sweeps * (2 * order - 1) + 1)
         cyc_nnz += lv.P.nnz + lv.R.nnz
+    np.asarray(vcycle_loop(state, b, 2))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        z = vcycle(state, z / jnp.max(jnp.abs(z)))
-    z.block_until_ready()
+    np.asarray(vcycle_loop(state, b, reps))
     vcyc_t = (time.perf_counter() - t0) / reps
     vcyc_nnz_s = cyc_nnz / vcyc_t
 
@@ -94,11 +105,10 @@ def main():
                          jnp.asarray(0.0, dtype), 100, True, 0)
 
     x0 = jnp.zeros(n, dtype=dtype)
-    out = solve(A, state, b, x0)
-    out[0].block_until_ready()  # compile
+    np.asarray(solve(A, state, b, x0)[0])  # compile + warm
     t0 = time.perf_counter()
     xs, iters, norm, done, _ = solve(A, state, b, x0)
-    xs.block_until_ready()
+    np.asarray(xs)
     solve_t = time.perf_counter() - t0
     iters_big = int(iters)
 

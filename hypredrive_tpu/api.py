@@ -42,6 +42,7 @@ class HypreDrive:
         self.current_system_index = -1
         self._destroyed = False
         self._reuse_state = None
+        self._print_ctx = None
 
     # -- config ----------------------------------------------------------
 
@@ -63,6 +64,18 @@ class HypreDrive:
             from .precon.reuse import PreconReuseState
 
             self._reuse_state = PreconReuseState(self.args.preconditioner.reuse)
+        self._print_ctx = None
+        ps = self.args.linear_system.get("print_system")
+        if ps and ps.get("enable"):
+            from .linsys.printsys import PrintSystemContext
+
+            self._print_ctx = PrintSystemContext(ps)
+
+    def _maybe_dump(self, stage: str):
+        """ref: MaybeDumpLinearSystem (src/HYPREDRV.c:611)."""
+        if self._print_ctx is not None and self.system is not None:
+            self._print_ctx.dump(self.system, stage,
+                                 self.current_system_index, self.stats)
 
     def set_library_mode(self):
         """ref: HYPREDRV_SetLibraryMode (src/HYPREDRV.c:1309)"""
@@ -94,6 +107,7 @@ class HypreDrive:
             nnz = self.system.nnz
             log(1, f"Solving linear system #{self.current_system_index} "
                    f"with {nrows} rows and {nnz} nonzeros")
+        self._maybe_dump("build")
         return self.system
 
     def set_matrix_from_csr(self, indptr, indices, data, ilower=0,
@@ -166,6 +180,7 @@ class HypreDrive:
         finally:
             self.stats.annotate_end("prec")
         self.solver.setup(system, self.precon)
+        self._maybe_dump("setup")
 
     def linear_solver_apply(self):
         """Krylov solve (hot phase #2;
@@ -177,6 +192,7 @@ class HypreDrive:
             self._reuse_state.record_observation(
                 self.current_system_index, self.stats, result
             )
+        self._maybe_dump("apply")
         return result
 
     def precon_destroy(self):

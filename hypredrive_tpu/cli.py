@@ -100,6 +100,11 @@ def run_one_config(path: str, overrides, preset, dry_run=False) -> int:
         if args.linear_system.init_suffix >= 0 and args.linear_system.last_suffix >= 0:
             num_systems = (args.linear_system.last_suffix
                            - args.linear_system.init_suffix + 1)
+        if args.linear_system.sequence_filename:
+            from .io.lsseq import read_summary
+
+            num_systems = read_summary(
+                args.linear_system.sequence_filename).num_systems
 
         # Solve loops: systems × precon variants × repetitions
         # (ref: RunSolveLoops, main.c:175-229).

@@ -88,6 +88,8 @@ class LinearSystem:
         self.nullspace = None
         self.scaling = None  # active scaling context
         self.ls_id = 0
+        self.pattern_id = None  # lsseq sparsity-pattern id (recompile key)
+        self._lsseq = None
 
     # -- properties --------------------------------------------------------
 
@@ -160,7 +162,18 @@ class LinearSystem:
 
     def _build_matrix(self, ls, ls_id: int):
         gen = ls.get("generate")
-        if gen and gen.get("kind"):
+        if ls.get("sequence_filename"):
+            # lsseq container (ref: linsys.c lsseq reader path)
+            from ..io.lsseq import LSSeqFile
+
+            seq = LSSeqFile(ls.sequence_filename)
+            self._lsseq = seq
+            self.A_host = seq.read_matrix(ls_id)
+            dof = seq.read_dofmap(ls_id)
+            if dof is not None:
+                self.dofmap = dof
+            self.pattern_id = seq.pattern_id(ls_id)
+        elif gen and gen.get("kind"):
             A_host, dofmap = _generate_matrix(gen)
             self.A_host = A_host
             if dofmap is not None:
@@ -190,6 +203,10 @@ class LinearSystem:
     def _build_rhs(self, ls, ls_id: int):
         n = self.num_rows
         mode = ls.rhs_mode
+        if getattr(self, "_lsseq", None) is not None:
+            self.b = jnp.asarray(self._lsseq.read_rhs(ls_id),
+                                 dtype=self.dtype)
+            return
         path = resolve_filename(ls, ls_id, ls.rhs_filename, ls.rhs_basename)
         if path and mode in (0, 2):  # file given (mode default/file)
             vec = ij_io.read_vector_auto(path)
