@@ -136,6 +136,71 @@ class HypreDrive:
         """ref: HYPREDRV_LinearSystemGetSolutionValues (src/HYPREDRV.c:2479)"""
         return self._require_system().get_solution()
 
+    # -- state vectors (ref: HYPREDRV_StateVector*, src/HYPREDRV.c:1701-1930,
+    #    include/HYPREDRV.h:1554-1693) — circular time-stepping states ------
+
+    def state_vector_set(self, vectors: Sequence[np.ndarray]):
+        """Register nstates state vectors (borrowed, library mode)."""
+        self._states = [np.asarray(v, dtype=np.float64) for v in vectors]
+        self._state_map = list(range(len(self._states)))
+
+    def _state(self, index: int) -> np.ndarray:
+        states = getattr(self, "_states", None)
+        if not states or not 0 <= index < len(states):
+            raise HypredrvError(f"state vector {index} not set",
+                                ErrorCode.UNKNOWN_OBJ)
+        return states[self._state_map[index]]
+
+    def state_vector_get_values(self, index: int) -> np.ndarray:
+        """Direct (read/write) access to a state vector's local data."""
+        return self._state(index)
+
+    def state_vector_copy(self, index_in: int, index_out: int):
+        np.copyto(self._state(index_out), self._state(index_in))
+
+    def state_vector_update_all(self):
+        """Advance the circular state mapping by one (no data copied)."""
+        if getattr(self, "_state_map", None):
+            self._state_map = self._state_map[1:] + self._state_map[:1]
+
+    def state_vector_apply_correction(self, state_idx: int = 0):
+        """state[state_idx] += x (Newton update U += ΔU)."""
+        x = np.asarray(self._require_system().x)
+        s = self._state(state_idx)
+        s += x[:len(s)]
+
+    # -- null space / auxiliary operators -----------------------------------
+
+    def set_near_nullspace(self, vectors):
+        """Near-null-space vectors (RBMs) for AMG interpolation
+        (ref: HYPREDRV_LinearSystemSetNearNullSpace, HYPREDRV.h:1286)."""
+        sys_ = self._require_system()
+        sys_.near_nullspace = np.asarray(vectors, dtype=np.float64)
+
+    def set_nullspace(self, vectors):
+        """Exact null space; solutions are projected after each solve
+        (ref: HYPREDRV.h:1335 + gauge fix src/HYPREDRV.c:3307)."""
+        from .linsys.nullspace import orthonormalize
+
+        sys_ = self._require_system()
+        sys_.nullspace = orthonormalize(np.asarray(vectors, dtype=np.float64))
+
+    def set_coordinates(self, coords):
+        """Vertex coordinates for AMS/ADS (ref: HYPREDRV.h:793)."""
+        self._require_system().coords = np.asarray(coords, dtype=np.float64)
+
+    def set_discrete_gradient(self, G):
+        """Discrete gradient operator for AMS (ref: HYPREDRV.h:749)."""
+        import scipy.sparse as sp
+
+        self._require_system().G_host = sp.csr_matrix(G)
+
+    def set_discrete_curl(self, C):
+        """Discrete curl operator for ADS (ref: HYPREDRV.h:770)."""
+        import scipy.sparse as sp
+
+        self._require_system().C_host = sp.csr_matrix(C)
+
     # -- solve lifecycle ----------------------------------------------------
 
     def precon_create(self):
@@ -228,11 +293,22 @@ class HypreDrive:
             filename = filename or self.args.general.statistics_filename
         self.stats.print(filename=filename)
 
+    # getters (ref: HYPREDRV_LinearSolverGet*, src/HYPREDRV.c:3665-3820)
     def get_num_iterations(self) -> int:
         return self.stats.num_iterations()
 
     def get_final_rel_res_norm(self) -> float:
         return self.stats.final_rel_res_norm()
+
+    def get_setup_time(self) -> float:
+        return self.stats.setup_time()
+
+    def get_solve_time(self) -> float:
+        return self.stats.solve_time()
+
+    def get_converged(self) -> bool:
+        return self.stats.entries[-1].converged if self.stats.entries \
+            else False
 
     # -- internal ------------------------------------------------------------
 

@@ -86,6 +86,10 @@ class LinearSystem:
         self.dofmap: Optional[np.ndarray] = None
         self.dof_labels = {}
         self.nullspace = None
+        self.near_nullspace = None   # RBMs for AMG interpolation
+        self.coords = None           # vertex coordinates (AMS/ADS)
+        self.G_host = None           # discrete gradient (AMS)
+        self.C_host = None           # discrete curl (ADS)
         self.scaling = None  # active scaling context
         self.ls_id = 0
         self.pattern_id = None  # lsseq sparsity-pattern id (recompile key)

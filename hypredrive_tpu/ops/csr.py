@@ -266,3 +266,142 @@ def row_partition(n_rows: int, n_parts: int) -> np.ndarray:
 
 def max_row_nnz(A: sp.csr_matrix) -> int:
     return int(np.diff(A.indptr).max(initial=0))
+
+
+# -- structured-grid incidence operators (AMS/ADS test problems) -----------
+# ref capability: HYPREDRV_LinearSystemSetDiscreteGradient/Curl/Coordinates
+# (include/HYPREDRV.h:749-793) feeding hypre AMS/ADS (src/internal/ams.c,
+# ads.c).  These generators build the de Rham complex on an n^d node grid:
+# G (edges x nodes), C (faces x edges), D (cells x faces) with C@G = 0 and
+# D@C = 0, plus model edge/face systems.
+
+def grid_incidence_2d(n: int):
+    """(G, C, coords) on an n x n node grid.
+
+    Nodes (i,j) -> i*n+j with coords (j, i).  Edges: x-edges (along j)
+    then y-edges (along i).  C is the scalar curl (cells x edges).
+    """
+    node = lambda i, j: i * n + j
+    nxe = n * (n - 1)           # x-edges: (i, j)-(i, j+1)
+    xe = lambda i, j: i * (n - 1) + j
+    ye = lambda i, j: nxe + i * n + j   # y-edges: (i, j)-(i+1, j)
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        for j in range(n - 1):
+            rows += [xe(i, j)] * 2
+            cols += [node(i, j), node(i, j + 1)]
+            vals += [-1.0, 1.0]
+    for i in range(n - 1):
+        for j in range(n):
+            rows += [ye(i, j)] * 2
+            cols += [node(i, j), node(i + 1, j)]
+            vals += [-1.0, 1.0]
+    n_edges = nxe + (n - 1) * n
+    G = csr_from_coo(rows, cols, vals, (n_edges, n * n))
+    rows, cols, vals = [], [], []
+    for i in range(n - 1):          # cell (i, j): ccw circulation
+        for j in range(n - 1):
+            f = i * (n - 1) + j
+            rows += [f] * 4
+            cols += [xe(i, j), ye(i, j + 1), xe(i + 1, j), ye(i, j)]
+            vals += [1.0, 1.0, -1.0, -1.0]
+    C = csr_from_coo(rows, cols, vals, ((n - 1) ** 2, n_edges))
+    coords = np.column_stack([np.tile(np.arange(n), n),          # x = j
+                              np.repeat(np.arange(n), n)]).astype(np.float64)
+    return G, C, coords
+
+
+def grid_incidence_3d(n: int):
+    """(G, C, D, coords) de Rham complex on an n^3 node grid."""
+    def node(i, j, k):
+        return (i * n + j) * n + k
+
+    # edges along axis d: base node (i,j,k) with i_d < n-1
+    e_count = [0, 0, 0]
+    e_index = {}
+    cnt = 0
+    for d in range(3):
+        dims = [n, n, n]
+        dims[d] -= 1
+        e_count[d] = dims[0] * dims[1] * dims[2]
+        for i in range(dims[0]):
+            for j in range(dims[1]):
+                for k in range(dims[2]):
+                    e_index[(d, i, j, k)] = cnt
+                    cnt += 1
+    n_edges = cnt
+    step = [np.array(s) for s in ((1, 0, 0), (0, 1, 0), (0, 0, 1))]
+    rows, cols, vals = [], [], []
+    for (d, i, j, k), e in e_index.items():
+        b = np.array((i, j, k))
+        h = b + step[d]
+        rows += [e, e]
+        cols += [node(*b), node(*h)]
+        vals += [-1.0, 1.0]
+    G = csr_from_coo(rows, cols, vals, (n_edges, n ** 3))
+
+    # faces normal to axis d, spanned by d1=(d+1)%3, d2=(d+2)%3
+    f_index = {}
+    cnt = 0
+    for d in range(3):
+        dims = [n, n, n]
+        dims[(d + 1) % 3] -= 1
+        dims[(d + 2) % 3] -= 1
+        for i in range(dims[0]):
+            for j in range(dims[1]):
+                for k in range(dims[2]):
+                    f_index[(d, i, j, k)] = cnt
+                    cnt += 1
+    n_faces = cnt
+    rows, cols, vals = [], [], []
+    for (d, i, j, k), f in f_index.items():
+        d1, d2 = (d + 1) % 3, (d + 2) % 3
+        b = np.array((i, j, k))
+        rows += [f] * 4
+        cols += [e_index[(d1, *b)], e_index[(d2, *(b + step[d1]))],
+                 e_index[(d1, *(b + step[d2]))], e_index[(d2, *b)]]
+        vals += [1.0, 1.0, -1.0, -1.0]
+    C = csr_from_coo(rows, cols, vals, (n_faces, n_edges))
+
+    rows, cols, vals = [], [], []
+    m = n - 1
+    for i in range(m):
+        for j in range(m):
+            for k in range(m):
+                c = (i * m + j) * m + k
+                b = np.array((i, j, k))
+                for d in range(3):
+                    rows += [c, c]
+                    cols += [f_index[(d, *(b + step[d]))], f_index[(d, *b)]]
+                    vals += [1.0, -1.0]
+    D = csr_from_coo(rows, cols, vals, (m ** 3, n_faces))
+    coords = np.array([(i, j, k) for i in range(n)
+                       for j in range(n) for k in range(n)], dtype=np.float64)
+    return G, C, D, coords
+
+
+def maxwell_edge_system(n: int, eps: float = 0.1, dim: int = 2):
+    """Edge-element curl-curl system A = C^T C + eps*M_e (AMS target).
+
+    Returns (A, G, coords).  The near-null space of the curl-curl term is
+    range(G) — exactly what AMS's gradient-space correction handles.
+    """
+    if dim == 2:
+        G, C, coords = grid_incidence_2d(n)
+    else:
+        G, C, _, coords = grid_incidence_3d(n)
+    A = (C.T @ C + eps * sp.identity(G.shape[0])).tocsr()
+    A.sort_indices()
+    return A, G, coords
+
+
+def graddiv_face_system(n: int, eps: float = 0.1):
+    """Face-element grad-div system A = D^T D + eps*M_f (ADS target).
+
+    Returns (A, C, G, coords); the problematic near-null space of the
+    div-div term is range(C).
+    """
+    G, C, D, coords = grid_incidence_3d(n)
+    A = (D.T @ D + eps * sp.identity(C.shape[0])).tocsr()
+    A.sort_indices()
+    return A, C, G, coords

@@ -1,0 +1,93 @@
+"""ADS — auxiliary-space divergence solver (face/Raviart-Thomas elements).
+
+Reference: src/internal/ads.c wrapping HYPRE_ADS: needs the discrete
+curl C (n_faces × n_edges), discrete gradient G (n_edges × n_nodes) and
+vertex coordinates; nested AMS+AMG option groups
+(ref: include/internal/ads.h:24-57).
+
+Native construction (auxiliary-space decomposition for H(div)):
+
+    z = S(r)  +  C · B_C⁻¹ · Cᵀ r  +  Π_RT · B_Π⁻¹ · Π_RTᵀ r
+
+* S — ℓ1-Jacobi on the face matrix A,
+* B_C — AMS-style solve on the curl space  Cᵀ A C  (edge space;
+  approximated by an AMG hierarchy — the full nested-AMS variant is a
+  later milestone),
+* Π_RT — nodal vector interpolation built from face normals
+  (approximated through C·Π_edge composition), B_Π — AMG on Πᵀ A Π.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+import jax.numpy as jnp
+
+from .base import Preconditioner
+from ..core.errors import HypredrvError, ErrorCode
+from ..ops.device_matrix import EllMatrix
+from .ams import build_pi
+
+
+def _ads_apply(state, r):
+    from .amg.cycle import amg_apply
+
+    A, d_inv, C, CT, Pi, PiT, bc_state, bpi_state = state
+    z = d_inv * r
+    z = z + C.matvec(amg_apply(bc_state, CT.matvec(r)))
+    z = z + Pi.matvec(amg_apply(bpi_state, PiT.matvec(r)))
+    z = z + d_inv * (r - A.matvec(z))
+    return z
+
+
+class ADSPrecon(Preconditioner):
+    method = "ads"
+    apply_fn = staticmethod(_ads_apply)
+
+    def setup(self, system):
+        A_host = system.M_host if system.M_host is not None else system.A_host
+        if A_host is None:
+            A_host = system.A.to_csr()
+        C = getattr(system, "C_host", None)
+        G = getattr(system, "G_host", None)
+        coords = getattr(system, "coords", None)
+        if C is None or G is None or coords is None:
+            raise HypredrvError(
+                "ADS requires the discrete curl (set_discrete_curl), "
+                "discrete gradient (set_discrete_gradient) and vertex "
+                "coordinates (set_coordinates)",
+                ErrorCode.INVALID_PRECON)
+        from .amg.hierarchy import setup_hierarchy
+        from ..config.sections import AMG_SCHEMA
+
+        dtype = system.dtype
+        coords = np.asarray(coords, dtype=np.float64)
+        dim = coords.shape[1]
+
+        B_C = sp.csr_matrix(C.T @ A_host @ C)
+        B_C = B_C + 1e-12 * sp.identity(B_C.shape[0])
+        # face-space vector interpolation via the edge-space Π composed
+        # through C (RT0 nodal interpolation approximation)
+        Pi_edge = build_pi(G, coords)
+        Pi = sp.csr_matrix(C @ Pi_edge)
+        B_Pi = sp.csr_matrix(Pi.T @ A_host @ Pi)
+        B_Pi = B_Pi + 1e-12 * sp.identity(B_Pi.shape[0])
+
+        amg_args = self.args.get("amg") or AMG_SCHEMA.defaults()
+        dof_func_pi = (np.arange(B_Pi.shape[0]) % dim).astype(np.int64)
+        bc_state = setup_hierarchy(B_C, amg_args, dtype=dtype)
+        bpi_state = setup_hierarchy(B_Pi, amg_args, dtype=dtype,
+                                    dof_func=dof_func_pi)
+
+        l1 = np.asarray(np.abs(A_host).sum(axis=1)).ravel()
+        d_inv = jnp.asarray(np.where(l1 != 0, 1.0 / l1, 1.0), dtype=dtype)
+        self.state = (
+            EllMatrix.from_csr(A_host, dtype=dtype),
+            d_inv,
+            EllMatrix.from_csr(sp.csr_matrix(C), dtype=dtype),
+            EllMatrix.from_csr(sp.csr_matrix(C.T), dtype=dtype),
+            EllMatrix.from_csr(Pi, dtype=dtype),
+            EllMatrix.from_csr(sp.csr_matrix(Pi.T), dtype=dtype),
+            bc_state, bpi_state,
+        )
+        self.is_setup = True

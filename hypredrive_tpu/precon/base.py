@@ -55,6 +55,8 @@ def create_precon(precon_config, input_args=None) -> Preconditioner:
     from .amg import AMGPrecon
     from .mgr import MGRPrecon
     from .schwarz import SchwarzPrecon
+    from .ams import AMSPrecon
+    from .ads import ADSPrecon
 
     registry = {
         "none": NonePrecon,
@@ -66,6 +68,8 @@ def create_precon(precon_config, input_args=None) -> Preconditioner:
         "amg": AMGPrecon,
         "mgr": MGRPrecon,
         "schwarz": SchwarzPrecon,
+        "ams": AMSPrecon,
+        "ads": ADSPrecon,
     }
     cls = registry.get(precon_config.method)
     if cls is None:
