@@ -77,11 +77,18 @@ def parse_argv(argv: List[str]):
     return configs, overrides, preset, want_help, want_info, dry_run
 
 
-def run_one_config(path: str, overrides, preset, dry_run=False) -> int:
-    """ref: RunOneConfig (main.c:231)."""
+def run_one_config(path: str, overrides=None, preset=None, dry_run=False,
+                   collect=None) -> int:
+    """ref: RunOneConfig (main.c:231).
+
+    ``collect``: optional list; when given, the driver object is appended
+    so callers (golden-output tests) can inspect ``drv.stats`` entries
+    (the Stats object survives destroy)."""
     from .api import HypreDrive
 
     drv = HypreDrive()
+    if collect is not None:
+        collect.append(drv)
     try:
         args = drv.input_args_parse(path, overrides, preset)
         if args.general.print_config_params or True:
@@ -118,7 +125,17 @@ def run_one_config(path: str, overrides, preset, dry_run=False) -> int:
             if args.linear_system.eigspec.enable:
                 from .linsys.eigspec import compute_eigenspectrum
 
-                compute_eigenspectrum(system, args.linear_system.eigspec)
+                eig_precon = None
+                if args.linear_system.eigspec.preconditioned:
+                    # spectrum of M^-1 A needs a set-up preconditioner
+                    # (ref: eigspec.c precon-apply callback)
+                    drv.precon_create()
+                    drv.precon.setup(system)
+                    eig_precon = drv.precon
+                compute_eigenspectrum(system, args.linear_system.eigspec,
+                                      precon=eig_precon)
+                if eig_precon is not None:
+                    drv.precon_destroy()
             for v in range(args.num_precon_variants):
                 if args.num_precon_variants > 1:
                     drv.set_precon_variant(v)

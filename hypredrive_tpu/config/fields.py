@@ -158,7 +158,9 @@ class Schema:
     def __init__(self, name: str, fields: Dict[str, Union[F, "Schema"]],
                  help: str = "", open_keys: bool = False):
         self.name = name
-        self.fields = fields
+        # store field keys normalized so mixed-case schema names
+        # (P12_trunc_factor) match the normalized lookup in parse()
+        self.fields = {normalize_name(k): v for k, v in fields.items()}
         self.help = help
         self.open_keys = open_keys  # allow unknown keys (e.g. mgr level.N)
 

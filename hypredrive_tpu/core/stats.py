@@ -45,6 +45,8 @@ class StatsEntry:
     rel_res_norm: float = 0.0
     converged: bool = True
     path: str = ""  # hierarchical level path label like "1.2"
+    is_rerun: bool = False  # variant/repetition on the same system
+                            # (blank LS-build column, ref: ex8 output)
 
     @property
     def build_time(self) -> float:
@@ -88,6 +90,15 @@ class Stats:
             )
             self._open[key] = now
         elif key in _KNOWN_PHASES:
+            if (key == "prec" and self.entries
+                    and self.entries[-1].solve_time > 0.0):
+                # a new precon setup after a completed solve (variant
+                # sweep / repetition) opens a fresh entry on the same
+                # system — ref: ex8 refOutput rows 1-4 have no LS-build
+                self.entries.append(
+                    StatsEntry(ls_id=self._ls_counter,
+                               path=self._current_path(),
+                               is_rerun=True))
             self._open[key] = now
         else:
             tag = key if index is None else f"{key}:{index}"
@@ -206,10 +217,12 @@ class Stats:
             "  res. norm |  res. norm |  iters |"
         )
         lines = ["", header, "", sep, h1, h2, sep]
-        for e in self.entries:
-            label = f"{e.path}.{e.ls_id}" if e.path else str(e.ls_id)
+        for i, e in enumerate(self.entries):
+            label = f"{e.path}.{i}" if e.path else str(i)
+            build = ("".ljust(11) if e.is_rerun
+                     else f"{e.build_time * scale:>11.3f}")
             lines.append(
-                f"| {label:>6} | {e.build_time * scale:>11.3f} |"
+                f"| {label:>6} | {build} |"
                 f" {e.setup_time * scale:>11.3f} | {e.solve_time * scale:>11.3f} |"
                 f" {e.initial_res_norm:>10.2e} | {e.rel_res_norm:>10.2e} |"
                 f" {e.iters:>6} |"

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -20,13 +21,20 @@ def compute_eigenspectrum(system, eig_args, precon=None):
     A = np.asarray(system.A_host.todense())
     if eig_args.get("preconditioned") and precon is not None \
             and precon.apply_fn is not None:
-        # columns of M⁻¹A via the precon apply
-        cols = []
-        for j in range(A.shape[1]):
-            cols.append(np.asarray(
-                precon.apply_fn(precon.state, jnp.asarray(A[:, j],
-                                                          system.dtype))))
-        A = np.stack(cols, axis=1)
+        # columns of M⁻¹A via the precon apply — batched with vmap when
+        # the apply is vmappable, else column-by-column
+        try:
+            Ad = jnp.asarray(A.T, system.dtype)  # rows = columns of A
+            cols = jax.jit(jax.vmap(
+                lambda v: precon.apply_fn(precon.state, v)))(Ad)
+            A = np.asarray(cols).T
+        except Exception:
+            cols = []
+            for j in range(A.shape[1]):
+                cols.append(np.asarray(
+                    precon.apply_fn(precon.state, jnp.asarray(A[:, j],
+                                                              system.dtype))))
+            A = np.stack(cols, axis=1)
 
     hermitian = bool(eig_args.get("hermitian"))
     want_vectors = bool(eig_args.get("vectors"))

@@ -59,9 +59,11 @@ def resolve_filename(ls_args, ls_id: int, filename: str, basename: str) -> str:
         return (init if init >= 0 else 0) + ls_id
 
     digits = int(ls_args.get("digits_suffix", 5))
+    if not filename and not basename:
+        return ""
     if ls_args.get("dirname"):
         return os.path.join(
-            f"{ls_args.dirname}_{suffix():0{digits}d}", filename)
+            f"{ls_args.dirname}_{suffix():0{digits}d}", filename or basename)
     if filename:
         return filename
     if basename:

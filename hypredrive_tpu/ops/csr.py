@@ -214,9 +214,15 @@ def multiphysics_block_system(ncell: int, ndof: int = 3, seed: int = 7,
     blocks = []
     for f in range(ndof):
         scale = 10.0 ** (-f)  # fields at different magnitudes
+        # only field 0 is elliptic (pressure-like); the rest are
+        # mass-like (strongly diagonally dominant), mirroring the
+        # locally-eliminable density/saturation dofs of the reference's
+        # compflow-class systems (MGR f_dofs targets)
+        off = 1.0 if f == 0 else 0.05
         T = sp.diags(
-            [-scale * np.ones(ncell - 1), 2.1 * scale * np.ones(ncell),
-             -scale * np.ones(ncell - 1)],
+            [-off * scale * np.ones(ncell - 1),
+             2.1 * scale * np.ones(ncell),
+             -off * scale * np.ones(ncell - 1)],
             [-1, 0, 1],
         )
         blocks.append(T)

@@ -10,6 +10,10 @@ regenerated here:
     (ex1 initial res norm 3.16e+01 = √1000 confirms b = ones).
   * multiphys2k — generated multiphysics stand-in for compflow6k-class
     systems (dofmap-driven MGR tests).
+  * poroseq — time sequence of 8 multiphysics systems with a fixed
+    sparsity pattern and drifting coefficients, stand-in for the
+    reference's poromech2k sequence (ref: examples/ex7.yml
+    dirname/init_suffix/last_suffix scheme + timestep_filename).
 
 Usage: python scripts/generate_data.py [outdir]
 """
@@ -46,6 +50,29 @@ def main(outdir="data"):
     ij.write_matrix_ascii(os.path.join(d2, "IJ.out.A"), Am)
     ij.write_vector_ascii(os.path.join(d2, "IJ.out.b"), bm)
     ij.write_dofmap_ascii(os.path.join(d2, "dofmap.out"), dofmap)
+
+    # poroseq — fixed-pattern sequence (ref: ex7.yml suffix scheme)
+    nsys = 8
+    base = os.path.join(outdir, "poroseq", "np1")
+    rng = np.random.default_rng(11)
+    A0, dofmap = multiphysics_block_system(243, 3, seed=11)
+    ts = []
+    for k in range(nsys):
+        d = os.path.join(base, f"ls_{k:05d}")
+        os.makedirs(d, exist_ok=True)
+        Ak = A0.copy()
+        # drift the coefficients smoothly; pattern is identical across
+        # the sequence (lsseq pattern-dedup / precon-reuse target)
+        Ak.data = Ak.data * (1.0 + 0.02 * k)
+        Ak.setdiag(Ak.diagonal() + 0.01 * k * np.abs(A0.diagonal()))
+        bk = np.cos(0.3 * k) * np.ones(Ak.shape[0]) \
+            + 0.1 * rng.standard_normal(Ak.shape[0])
+        ij.write_matrix_ascii(os.path.join(d, "IJ.out.A"), Ak.tocsr())
+        ij.write_vector_ascii(os.path.join(d, "IJ.out.b"), bk)
+        ij.write_dofmap_ascii(os.path.join(d, "dofmap.out"), dofmap)
+        ts.append(k // 2)  # two Newton systems per timestep
+    with open(os.path.join(base, "timesteps.txt"), "w") as f:
+        f.write("\n".join(str(t) for t in ts) + "\n")
 
     print(f"wrote datasets under {outdir}/")
 

@@ -1,0 +1,108 @@
+"""Golden-output regression on the example configs.
+
+Mirrors the reference's output-regression tier (ref: examples/refOutput/*
+compared by scripts/compare_output.sh:41-66): **iteration counts and
+residual norms are the stable contract — times are never compared.**
+
+Goldens were recorded from this framework on the generated datasets
+(`scripts/generate_data.py`); iteration counts are allowed a ±2 slack to
+absorb cross-platform reduction-order drift, residual norms only need to
+stay under the documented ceiling.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXDIR = os.path.join(REPO, "examples")
+
+# (config, [(iters, relres_ceiling), ...]) — one tuple per stats entry
+GOLDEN = {
+    "ex1.yml": [(5, 1e-6)],
+    "ex1-jacobi.yml": [(21, 1e-6)],
+    "ex2.yml": [(9, 1e-6)],
+    "ex3.yml": [(4, 1e-5)],
+    "ex4.yml": [(4, 1e-6)],
+    "ex5.yml": [(4, 1e-5)],
+    "ex7.yml": [(4, 1e-6), (3, 1e-5), (3, 1e-5), (3, 1e-5),
+                (3, 1e-5), (3, 1e-5), (3, 1e-6), (3, 1e-6)],
+    "ex8.yml": [(7, 1e-8), (6, 1e-8), (13, 1e-8), (9, 1e-8)],
+}
+
+
+def _ensure_data():
+    if not os.path.isdir(os.path.join(REPO, "data", "poroseq")):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "generate_data.py")],
+            check=True, cwd=REPO)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _cwd_repo():
+    _ensure_data()
+    old = os.getcwd()
+    os.chdir(REPO)
+    yield
+    os.chdir(old)
+
+
+@pytest.mark.parametrize("config", sorted(GOLDEN))
+def test_example_golden(config):
+    from hypredrive_tpu.cli import run_one_config
+
+    collect = []
+    rc = run_one_config(os.path.join(EXDIR, config), collect=collect)
+    assert rc == 0
+    entries = collect[0].stats.entries
+    golden = GOLDEN[config]
+    assert len(entries) == len(golden), \
+        f"{config}: {len(entries)} entries, expected {len(golden)}"
+    for i, (e, (g_iters, g_ceiling)) in enumerate(zip(entries, golden)):
+        assert abs(e.iters - g_iters) <= 2, \
+            f"{config} entry {i}: {e.iters} iters vs golden {g_iters}"
+        assert e.rel_res_norm < g_ceiling, \
+            f"{config} entry {i}: relres {e.rel_res_norm:.2e} > {g_ceiling}"
+        assert e.converged
+
+
+def test_ex6_eigspec(tmp_path):
+    """ex6 writes the eigenvalue file next to the dataset."""
+    from hypredrive_tpu.cli import run_one_config
+
+    rc = run_one_config(os.path.join(EXDIR, "ex6.yml"))
+    assert rc == 0
+    eig = os.path.join(REPO, "data", "multiphys2k", "np1",
+                       "eig_eigenvalues.txt")
+    assert os.path.exists(eig)
+    os.remove(eig)
+
+
+def test_ex7_reuse_skips_setups():
+    from hypredrive_tpu.cli import run_one_config
+
+    collect = []
+    rc = run_one_config(os.path.join(EXDIR, "ex7-mgr-frelax-reuse.yml"),
+                        collect=collect)
+    assert rc == 0
+    entries = collect[0].stats.entries
+    assert len(entries) == 8
+    # static frequency=2 → every odd system reuses: near-zero setup time
+    reused = [e for i, e in enumerate(entries) if i % 2 == 1]
+    rebuilt = [e for i, e in enumerate(entries) if i % 2 == 0]
+    assert max(e.setup_time for e in reused) < \
+        0.2 * (sum(e.setup_time for e in rebuilt) / len(rebuilt))
+    assert all(e.converged for e in entries)
+
+
+def test_ex9_print_system(tmp_path):
+    from hypredrive_tpu.cli import run_one_config
+
+    rc = run_one_config(os.path.join(EXDIR, "ex9-print-system.yml"))
+    assert rc == 0
+    dump = os.path.join(REPO, "dump_ex9")
+    assert os.path.isdir(dump)
+    import shutil
+    shutil.rmtree(dump)
