@@ -52,20 +52,32 @@ def read_matrix_ascii(path: str) -> Tuple[sp.csr_matrix, int]:
     if not os.path.exists(path):
         raise HypredrvError(f"matrix file not found: {path}",
                             ErrorCode.FILE_NOT_FOUND)
-    with open(path) as f:
-        first = f.readline().split()
-    if len(first) != 4:
-        raise HypredrvError(f"bad IJ ASCII header in {path}", ErrorCode.MATRIX)
-    ilower, iupper, jlower, jupper = (int(x) for x in first)
-    data = np.loadtxt(path, skiprows=1, ndmin=2)
-    if data.size == 0:
-        rows = cols = np.empty(0, np.int64)
-        vals = np.empty(0, np.float64)
+    from . import native
+
+    try:
+        nat = native.read_matrix_ascii(path)
+    except ValueError as e:
+        raise HypredrvError(str(e), ErrorCode.MATRIX)
+    if nat is not None:
+        rows, cols, vals, ilower, iupper, jlower, jupper = nat
+        rows = rows - ilower
+        cols = cols - jlower
     else:
-        rows = data[:, 0].astype(np.int64) - ilower
-        cols = data[:, 1].astype(np.int64) - jlower
-        vals = data[:, 2].astype(np.float64)
-    _check_finite(vals, path)
+        with open(path) as f:
+            first = f.readline().split()
+        if len(first) != 4:
+            raise HypredrvError(f"bad IJ ASCII header in {path}",
+                                ErrorCode.MATRIX)
+        ilower, iupper, jlower, jupper = (int(x) for x in first)
+        data = np.loadtxt(path, skiprows=1, ndmin=2)
+        if data.size == 0:
+            rows = cols = np.empty(0, np.int64)
+            vals = np.empty(0, np.float64)
+        else:
+            rows = data[:, 0].astype(np.int64) - ilower
+            cols = data[:, 1].astype(np.int64) - jlower
+            vals = data[:, 2].astype(np.float64)
+        _check_finite(vals, path)
     nrows = iupper - ilower + 1
     ncols = jupper - jlower + 1
     A = sp.coo_matrix((vals, (rows, cols)), shape=(nrows, ncols)).tocsr()
@@ -76,6 +88,14 @@ def read_matrix_ascii(path: str) -> Tuple[sp.csr_matrix, int]:
 
 def write_matrix_ascii(path: str, A: sp.csr_matrix, ilower: int = 0):
     A = A.tocoo()
+    from . import native
+
+    if native.write_matrix_ascii(
+            path, A.row.astype(np.int64) + ilower,
+            A.col.astype(np.int64) + ilower, A.data,
+            ilower, ilower + A.shape[0] - 1,
+            ilower, ilower + A.shape[1] - 1):
+        return
     with open(path, "w") as f:
         f.write(f"{ilower} {ilower + A.shape[0] - 1} "
                 f"{ilower} {ilower + A.shape[1] - 1}\n")
@@ -87,6 +107,14 @@ def read_vector_ascii(path: str) -> Tuple[np.ndarray, int]:
     if not os.path.exists(path):
         raise HypredrvError(f"vector file not found: {path}",
                             ErrorCode.FILE_NOT_FOUND)
+    from . import native
+
+    try:
+        nat = native.read_vector_ascii(path)
+    except ValueError as e:
+        raise HypredrvError(str(e), ErrorCode.VECTOR)
+    if nat is not None:
+        return nat
     with open(path) as f:
         first = f.readline().split()
     if len(first) != 2:
@@ -103,6 +131,10 @@ def read_vector_ascii(path: str) -> Tuple[np.ndarray, int]:
 
 
 def write_vector_ascii(path: str, v: np.ndarray, ilower: int = 0):
+    from . import native
+
+    if native.write_vector_ascii(path, v, ilower):
+        return
     with open(path, "w") as f:
         f.write(f"{ilower} {ilower + len(v) - 1}\n")
         for i, x in enumerate(v):

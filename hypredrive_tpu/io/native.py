@@ -1,0 +1,170 @@
+"""ctypes bindings for the native C++ I/O library (native/src/ij_io.cpp).
+
+The shared library is built on demand with the in-tree Makefile (g++ is
+part of the toolchain); if the build or load fails the callers fall back
+to the pure-numpy readers, so the native layer is an accelerator, never
+a requirement.  Ref counterparts: src/internal/matrix.c:142,
+src/internal/vector.c:92 (the reference's I/O is C for the same reason).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO, "native")
+_SO = os.path.join(_NATIVE_DIR, "libhypredrv_io.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+class _IJBuf(ctypes.Structure):
+    _fields_ = [
+        ("ilower", ctypes.c_int64),
+        ("iupper", ctypes.c_int64),
+        ("jlower", ctypes.c_int64),
+        ("jupper", ctypes.c_int64),
+        ("nnz", ctypes.c_int64),
+        ("n", ctypes.c_int64),
+        ("rows", ctypes.POINTER(ctypes.c_int64)),
+        ("cols", ctypes.POINTER(ctypes.c_int64)),
+        ("vals", ctypes.POINTER(ctypes.c_double)),
+        ("err", ctypes.c_char * 256),
+    ]
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "src", "ij_io.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "-s"],
+                       check=True, capture_output=True, timeout=120)
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or (
+                os.path.exists(os.path.join(_NATIVE_DIR, "src", "ij_io.cpp"))
+                and os.path.getmtime(_SO) < os.path.getmtime(
+                    os.path.join(_NATIVE_DIR, "src", "ij_io.cpp"))):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        for name in ("hdrv_read_ij_matrix_ascii", "hdrv_read_ij_vector_ascii"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.POINTER(_IJBuf)
+            fn.argtypes = [ctypes.c_char_p]
+        lib.hdrv_ij_free.restype = None
+        lib.hdrv_ij_free.argtypes = [ctypes.POINTER(_IJBuf)]
+        for name in ("hdrv_write_ij_matrix_ascii",):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [ctypes.c_char_p] + [ctypes.c_int64] * 4 + [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+        lib.hdrv_write_ij_vector_ascii.restype = ctypes.c_int
+        lib.hdrv_write_ij_vector_ascii.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+        _lib = lib
+        return _lib
+
+
+def read_matrix_ascii(path: str
+                      ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                          int, int, int, int]]:
+    """(rows, cols, vals, ilower, iupper, jlower, jupper) or None.
+
+    Raises ValueError on parse errors (malformed/non-finite entries) so
+    callers distinguish 'native unavailable' from 'bad file'."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    bufp = lib.hdrv_read_ij_matrix_ascii(path.encode())
+    if not bufp:
+        return None
+    try:
+        b = bufp.contents
+        err = bytes(b.err).split(b"\0", 1)[0]
+        if err:
+            raise ValueError(err.decode())
+        nnz = b.nnz
+        if nnz:
+            rows = np.ctypeslib.as_array(b.rows, (nnz,)).copy()
+            cols = np.ctypeslib.as_array(b.cols, (nnz,)).copy()
+            vals = np.ctypeslib.as_array(b.vals, (nnz,)).copy()
+        else:
+            rows = cols = np.empty(0, np.int64)
+            vals = np.empty(0, np.float64)
+        return rows, cols, vals, b.ilower, b.iupper, b.jlower, b.jupper
+    finally:
+        lib.hdrv_ij_free(bufp)
+
+
+def read_vector_ascii(path: str) -> Optional[Tuple[np.ndarray, int]]:
+    """(values, ilower) or None; raises ValueError on parse errors."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    bufp = lib.hdrv_read_ij_vector_ascii(path.encode())
+    if not bufp:
+        return None
+    try:
+        b = bufp.contents
+        err = bytes(b.err).split(b"\0", 1)[0]
+        if err:
+            raise ValueError(err.decode())
+        vals = (np.ctypeslib.as_array(b.vals, (b.n,)).copy()
+                if b.n else np.empty(0, np.float64))
+        return vals, b.ilower
+    finally:
+        lib.hdrv_ij_free(bufp)
+
+
+def write_matrix_ascii(path: str, rows, cols, vals,
+                       ilower, iupper, jlower, jupper) -> bool:
+    lib = get_lib()
+    if lib is None:
+        return False
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals = np.ascontiguousarray(vals, np.float64)
+    rc = lib.hdrv_write_ij_matrix_ascii(
+        path.encode(), ilower, iupper, jlower, jupper,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(vals))
+    return rc == 0
+
+
+def write_vector_ascii(path: str, vals, ilower: int = 0) -> bool:
+    lib = get_lib()
+    if lib is None:
+        return False
+    vals = np.ascontiguousarray(vals, np.float64)
+    rc = lib.hdrv_write_ij_vector_ascii(
+        path.encode(), ilower,
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(vals))
+    return rc == 0
