@@ -40,7 +40,11 @@ def main():
 
     dtype = jnp.float32
     nx = int(os.environ.get("HYPREDRV_BENCH_NX", "64"))
-    reps = int(os.environ.get("HYPREDRV_BENCH_REPS", "50"))
+    # dispatch+readback through the axon tunnel costs ~25 ms; reps must
+    # be large enough that on-device time dominates (SpMV ~80 us/rep,
+    # V-cycle ~10 ms/rep)
+    reps = int(os.environ.get("HYPREDRV_BENCH_REPS", "2000"))
+    vreps = int(os.environ.get("HYPREDRV_BENCH_VREPS", "50"))
 
     A_host = laplacian_3d_7pt(nx, dtype=np.float32)
     n = A_host.shape[0]
@@ -92,8 +96,8 @@ def main():
         cyc_nnz += lv.P.nnz + lv.R.nnz
     np.asarray(vcycle_loop(state, b, 2))
     t0 = time.perf_counter()
-    np.asarray(vcycle_loop(state, b, reps))
-    vcyc_t = (time.perf_counter() - t0) / reps
+    np.asarray(vcycle_loop(state, b, vreps))
+    vcyc_t = (time.perf_counter() - t0) / vreps
     vcyc_nnz_s = cyc_nnz / vcyc_t
 
     # ---- full solve to rtol=1e-8 (warm) ------------------------------------

@@ -56,18 +56,26 @@ class EllMatrix:
     nnz: int
     dia_data: Optional[jnp.ndarray] = None
     dia_offsets: Tuple[int, ...] = ()
+    gop: Optional[object] = None  # ops.pallas_spmv.GatherSpMV for the
+                                  # non-diagonal part (TPU fast path)
 
     def tree_flatten(self):
+        gch = self.gop.tree_children() if self.gop is not None else ()
         children = (self.cols, self.vals, self.tail_rows, self.tail_cols,
-                    self.tail_vals, self.dia_data)
-        aux = (self.shape, self.nnz, self.dia_offsets)
+                    self.tail_vals, self.dia_data) + tuple(gch)
+        aux = (self.shape, self.nnz, self.dia_offsets, self.gop)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        cols, vals, tr, tc, tv, dia = children
-        shape, nnz, dia_offsets = aux
-        return cls(cols, vals, tr, tc, tv, shape, nnz, dia, dia_offsets)
+        cols, vals, tr, tc, tv, dia = children[:6]
+        shape, nnz, dia_offsets, gop = aux
+        if gop is not None:
+            import copy
+
+            gop = copy.copy(gop)
+            gop.set_children(children[6:])
+        return cls(cols, vals, tr, tc, tv, shape, nnz, dia, dia_offsets, gop)
 
     # -- construction -----------------------------------------------------
 
@@ -76,10 +84,16 @@ class EllMatrix:
                  k: Optional[int] = None, k_cap: int = 64,
                  use_dia: bool = True,
                  force_dia_offsets: Optional[Tuple[int, ...]] = None,
-                 min_tail: int = 0) -> "EllMatrix":
+                 min_tail: int = 0, layout: str = "auto") -> "EllMatrix":
         """``force_dia_offsets``/``k``/``min_tail`` pin the static
         structure (used by the distributed wrapper to keep shards
-        uniform)."""
+        uniform) and imply the ELL layout.
+
+        ``layout``: "auto" stores the non-diagonal remainder as a
+        Pallas gather plan (ops/pallas_spmv.py — the TPU fast path for
+        AMG coarse operators); "ell" keeps the padded gather layout."""
+        if force_dia_offsets is not None or k is not None or min_tail:
+            layout = "ell"
         A = sp.csr_matrix(A)
         A.sum_duplicates()
         A.sort_indices()
@@ -118,6 +132,28 @@ class EllMatrix:
         r_rows = rows_all[rest]
         r_cols = cols_all[rest]
         r_vals = vals_all[rest]
+
+        if layout == "auto":
+            from .gather_plan import build_plan
+            from .pallas_spmv import GatherSpMV
+
+            plan = build_plan(r_rows, r_cols, r_vals, n_rows, n_cols)
+            gop = GatherSpMV(plan, dtype=dtype) if plan.num_passes else None
+            e = np.empty(0)
+            return cls(
+                cols=jnp.zeros((n_rows, 0), jnp.int32),
+                vals=jnp.zeros((n_rows, 0), dtype),
+                tail_rows=jnp.asarray(e, jnp.int32),
+                tail_cols=jnp.asarray(e, jnp.int32),
+                tail_vals=jnp.asarray(e, dtype),
+                shape=(n_rows, n_cols),
+                nnz=int(A.nnz),
+                dia_data=(jnp.asarray(dia_data, dtype=dtype)
+                          if dia_data is not None else None),
+                dia_offsets=dia_offsets,
+                gop=gop,
+            )
+
         rest_counts = np.bincount(r_rows, minlength=n_rows)
         max_nnz = int(rest_counts.max(initial=0))
         if k is None:
@@ -198,6 +234,9 @@ class EllMatrix:
                 start = lo + off
                 y = y + self.dia_data[i] * jax.lax.dynamic_slice(
                     xp, (start,), (n_rows,))
+        if self.gop is not None:
+            gy = self.gop(x)
+            y = gy if y is None else y + gy
         if self.has_ell:
             gathered = x[self.cols]                       # (n, K) gather
             ell_y = jnp.einsum("rk,rk->r", self.vals, gathered)
@@ -219,6 +258,8 @@ class EllMatrix:
         d = jnp.zeros(n, self.dtype)
         if self.dia_data is not None and 0 in self.dia_offsets:
             d = d + self.dia_data[self.dia_offsets.index(0)]
+        if self.gop is not None:
+            d = d + self.gop.diagonal_contrib()
         if self.has_ell:
             row_ids = jnp.arange(n, dtype=self.cols.dtype)[:, None]
             d = d + jnp.sum(
@@ -235,6 +276,8 @@ class EllMatrix:
         y = jnp.zeros(self.shape[0], self.dtype)
         if self.dia_data is not None:
             y = y + jnp.sum(jnp.abs(self.dia_data), axis=0)
+        if self.gop is not None:
+            y = y + self.gop.l1_contrib()
         if self.has_ell:
             y = y + jnp.sum(jnp.abs(self.vals), axis=1)
         if self.has_tail:
@@ -273,9 +316,10 @@ class EllMatrix:
                     parts.append(dia[i] * jax.lax.dynamic_slice(
                         srp, (lo + off,), (n_rows,)))
                 dia = jnp.stack(parts)
+        gop = self.gop.scaled(sl, sr) if self.gop is not None else None
         return EllMatrix(self.cols, vals, self.tail_rows, self.tail_cols,
                          tail_vals, self.shape, self.nnz, dia,
-                         self.dia_offsets)
+                         self.dia_offsets, gop)
 
     def to_csr(self) -> sp.csr_matrix:
         """Host round-trip (diagnostics / dumps)."""
@@ -290,6 +334,11 @@ class EllMatrix:
                 parts_r.append(r[ok])
                 parts_c.append(c[ok])
                 parts_v.append(dd[i][ok])
+        if self.gop is not None:
+            gr, gc, gv = self.gop.to_coo_host()
+            parts_r.append(gr)
+            parts_c.append(gc)
+            parts_v.append(gv)
         if self.has_ell:
             cols = np.asarray(self.cols)
             vals = np.asarray(self.vals)

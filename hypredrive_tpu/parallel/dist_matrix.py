@@ -152,7 +152,7 @@ class DistEllMatrix:
             locals_remapped.append(loc)
 
         # pass 1: discover per-shard structure; unify
-        probes = [EllMatrix.from_csr(loc, dtype=dtype)
+        probes = [EllMatrix.from_csr(loc, dtype=dtype, layout="ell")
                   for loc in locals_remapped]
         union_offsets = tuple(sorted(set().union(
             *(set(p.dia_offsets) for p in probes))))

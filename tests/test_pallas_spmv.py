@@ -1,0 +1,95 @@
+"""Windowed gather-SpMV: plan construction + kernel correctness.
+
+The Pallas kernel itself runs in interpret mode here (CPU backend);
+on TPU the same code path compiles through Mosaic.  The XLA fallback
+(segment-sum) must agree bit-for-bit in structure with the plan.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import jax.numpy as jnp
+
+from hypredrive_tpu.ops.gather_plan import build_plan, plan_stats, TILE_ROWS
+from hypredrive_tpu.ops.pallas_spmv import GatherSpMV
+
+
+def _coo(m, n, density, seed=0):
+    A = sp.random(m, n, density=density, random_state=seed, format="coo")
+    A.data[:] = np.random.default_rng(seed).standard_normal(len(A.data))
+    return A
+
+
+@pytest.mark.parametrize("m,n,density", [
+    (2000, 2000, 0.005), (900, 500, 0.02), (500, 900, 0.02),
+    (1024, 1024, 0.01), (17, 23, 0.3),
+])
+def test_xla_fallback_matches_scipy(m, n, density):
+    A = _coo(m, n, density)
+    plan = build_plan(A.row, A.col, A.data, m, n)
+    op = GatherSpMV(plan, dtype=jnp.float64, force_xla=True)
+    x = np.random.default_rng(1).standard_normal(n)
+    y = np.asarray(op(jnp.asarray(x)))
+    assert np.allclose(y, A @ x, atol=1e-12)
+
+
+def test_interpret_kernel_matches_scipy():
+    A = _coo(1500, 1500, 0.01, seed=3)
+    plan = build_plan(A.row, A.col, A.data, 1500, 1500)
+    op = GatherSpMV(plan, dtype=jnp.float32, interpret=True)
+    assert op.use_pallas
+    x = np.random.default_rng(2).standard_normal(1500)
+    y = np.asarray(op(jnp.asarray(x, jnp.float32)))
+    ref = A @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_plan_pass_invariants():
+    A = _coo(5000, 5000, 0.003, seed=5)
+    plan = build_plan(A.row, A.col, A.data, 5000, 5000)
+    # passes sorted by tile (required for VMEM accumulation)
+    assert np.all(np.diff(plan.pass_tile) >= 0)
+    # first flags mark tile changes
+    expect_first = np.ones_like(plan.pass_first)
+    expect_first[1:] = plan.pass_tile[1:] != plan.pass_tile[:-1]
+    assert np.array_equal(plan.pass_first, expect_first)
+    # every entry present exactly once
+    nnz_in_plan = int((plan.val != 0).sum())
+    assert nnz_in_plan == len(A.data[A.data != 0])
+    # local indices within the 8x128 window
+    assert plan.sub.min() >= 0 and plan.sub.max() < 8
+    assert plan.lane.min() >= 0 and plan.lane.max() < 128
+    npass, fill = plan_stats(plan)
+    assert npass == plan.num_passes
+
+
+def test_structural_helpers():
+    A = _coo(1200, 1200, 0.01, seed=7).tocsr()
+    A = (A + sp.identity(1200)).tocoo()
+    plan = build_plan(A.row, A.col, A.data, 1200, 1200)
+    op = GatherSpMV(plan, dtype=jnp.float64, force_xla=True)
+    d = np.asarray(op.diagonal_contrib())
+    assert np.allclose(d, A.tocsr().diagonal(), atol=1e-12)
+    l1 = np.asarray(op.l1_contrib())
+    assert np.allclose(l1, np.abs(A.tocsr()).sum(axis=1).A1, atol=1e-12)
+    sl = np.random.default_rng(0).uniform(0.5, 2.0, 1200)
+    sr = np.random.default_rng(1).uniform(0.5, 2.0, 1200)
+    op2 = op.scaled(jnp.asarray(sl), jnp.asarray(sr))
+    x = np.random.default_rng(2).standard_normal(1200)
+    y = np.asarray(op2(jnp.asarray(x)))
+    ref = (sp.diags(sl) @ A @ sp.diags(sr)) @ x
+    assert np.allclose(y, ref, atol=1e-10)
+
+
+def test_ellmatrix_auto_layout_round_trip():
+    from hypredrive_tpu.ops.device_matrix import EllMatrix
+
+    A = _coo(3000, 3000, 0.004, seed=11).tocsr()
+    A = (A + sp.diags(np.full(3000, 4.0))).tocsr()
+    E = EllMatrix.from_csr(A, dtype=jnp.float64)
+    x = np.random.default_rng(4).standard_normal(3000)
+    assert np.allclose(np.asarray(E.matvec(jnp.asarray(x))), A @ x,
+                       atol=1e-10)
+    assert np.allclose(np.asarray(E.diagonal()), A.diagonal(), atol=1e-12)
+    back = E.to_csr()
+    assert np.allclose(back.toarray(), A.toarray(), atol=1e-12)
