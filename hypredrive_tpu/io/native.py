@@ -27,6 +27,19 @@ _lib = None
 _tried = False
 
 
+class _PlanBuf(ctypes.Structure):
+    _fields_ = [
+        ("np_", ctypes.c_int64),
+        ("pass_tile", ctypes.POINTER(ctypes.c_int32)),
+        ("pass_q0", ctypes.POINTER(ctypes.c_int32)),
+        ("pass_first", ctypes.POINTER(ctypes.c_int32)),
+        ("sub", ctypes.POINTER(ctypes.c_int8)),
+        ("lane", ctypes.POINTER(ctypes.c_int8)),
+        ("val", ctypes.POINTER(ctypes.c_double)),
+        ("err", ctypes.c_char * 256),
+    ]
+
+
 class _IJBuf(ctypes.Structure):
     _fields_ = [
         ("ilower", ctypes.c_int64),
@@ -87,8 +100,51 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.hdrv_write_ij_vector_ascii.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+        lib.hdrv_build_gather_plan.restype = ctypes.POINTER(_PlanBuf)
+        lib.hdrv_build_gather_plan.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double)] + [ctypes.c_int64] * 3
+        lib.hdrv_plan_free.restype = None
+        lib.hdrv_plan_free.argtypes = [ctypes.POINTER(_PlanBuf)]
         _lib = lib
         return _lib
+
+
+def build_gather_plan(rows, cols, vals, n_rows, n_cols):
+    """Native pass planner; returns the arrays of a GatherPlan or None.
+
+    (pass_tile, pass_q0, pass_first, sub, lane, val) — see
+    ops/gather_plan.py for semantics."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals64 = np.ascontiguousarray(vals, np.float64)
+    bufp = lib.hdrv_build_gather_plan(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vals64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(rows), n_rows, n_cols)
+    if not bufp:
+        return None
+    try:
+        b = bufp.contents
+        err = bytes(b.err).split(b"\0", 1)[0]
+        if err:
+            raise MemoryError(err.decode())
+        NP = b.np_
+        if NP == 0:
+            return None
+        pt = np.ctypeslib.as_array(b.pass_tile, (NP,)).copy()
+        q0 = np.ctypeslib.as_array(b.pass_q0, (NP,)).copy()
+        pf = np.ctypeslib.as_array(b.pass_first, (NP,)).copy()
+        sub = np.ctypeslib.as_array(b.sub, (NP, 8, 128)).copy()
+        lane = np.ctypeslib.as_array(b.lane, (NP, 8, 128)).copy()
+        val = np.ctypeslib.as_array(b.val, (NP, 8, 128)).copy()
+        return pt, q0, pf, sub, lane, val.astype(np.asarray(vals).dtype)
+    finally:
+        lib.hdrv_plan_free(bufp)
 
 
 def read_matrix_ascii(path: str

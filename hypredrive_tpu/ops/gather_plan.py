@@ -44,8 +44,10 @@ class GatherPlan:
     pass_q0: np.ndarray     # (NP,) int32 — window start sublane of x
     pass_first: np.ndarray  # (NP,) int32 — 1 if first pass of its tile
     # per-pass dense tiles
-    sub: np.ndarray         # (NP, 8, 128) int32 — local sublane in window
-    lane: np.ndarray        # (NP, 8, 128) int32 — local lane in window
+    sub: np.ndarray         # (NP, 8, 128) int8 — local sublane in window
+    lane: np.ndarray        # (NP, 8, 128) int8 — local lane in window
+                            # (int8 staging halves host->device transfer;
+                            # widened to int32 on device)
     val: np.ndarray         # (NP, 8, 128) float — coefficient (0 = hole)
     n_rows: int
     n_cols: int
@@ -72,34 +74,60 @@ def build_plan(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     if len(rows) == 0:
         z = np.zeros((0, 8, 128))
         return GatherPlan(np.zeros(0, np.int32), np.zeros(0, np.int32),
-                          np.zeros(0, np.int32), z.astype(np.int32),
-                          z.astype(np.int32), z.astype(vals.dtype),
+                          np.zeros(0, np.int32), z.astype(np.int8),
+                          z.astype(np.int8), z.astype(vals.dtype),
+                          n_rows, n_cols, n_row_tiles, x_sublanes)
+
+    try:
+        from ..io.native import build_gather_plan as _native_plan
+
+        nat = _native_plan(rows, cols, vals, n_rows, n_cols)
+    except Exception:
+        nat = None
+    if nat is not None:
+        pt, q0, pf, sub, lane, val = nat
+        return GatherPlan(pt, q0, pf, sub, lane, val,
                           n_rows, n_cols, n_row_tiles, x_sublanes)
 
     tile = rows // TILE_ROWS
     win = cols // WIN                      # aligned window id
-    # sort entries by (tile, window, row) so same-tile passes are
-    # consecutive (required for VMEM output accumulation)
-    order = np.lexsort((rows, win, tile))
+    # ONE sort by (tile, window, row); everything else is O(n)
+    # run-length arithmetic (this is the setup hot path — ~half of the
+    # AMG setup time goes through here)
+    key = (tile * (1 << 40) + win * (1 << 20) + (rows % TILE_ROWS))
+    order = np.argsort(key, kind="stable")
+    key = key[order]
     tile, win = tile[order], win[order]
     r_s, c_s, v_s = rows[order], cols[order], vals[order]
+    N = len(key)
 
-    # slot index within (tile, window, row): entries hitting the same
-    # output row in the same window stack into successive passes
-    grp = tile * (1 << 40) + win * (1 << 20) + (r_s % TILE_ROWS)
-    _, first_idx, counts = np.unique(grp, return_index=True,
-                                     return_counts=True)
-    slot = np.arange(len(grp)) - np.repeat(first_idx, counts)
+    # slot = position within equal (tile, win, row) runs
+    new_run = np.empty(N, bool)
+    new_run[0] = True
+    np.not_equal(key[1:], key[:-1], out=new_run[1:])
+    idx = np.arange(N)
+    run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
+    slot = idx - run_start
 
-    # pass key: (tile, window, slot)
-    pkey = tile * (1 << 40) + win * (1 << 20) + slot
-    uniq, pass_of_entry = np.unique(pkey, return_inverse=True)
-    NP = len(uniq)
-    p_tile = (uniq >> 40).astype(np.int32)
-    p_win = ((uniq >> 20) & ((1 << 20) - 1)).astype(np.int64)
+    # (tile, win) groups; per-group pass count = max slot + 1
+    twkey = key >> 20
+    new_tw = np.empty(N, bool)
+    new_tw[0] = True
+    np.not_equal(twkey[1:], twkey[:-1], out=new_tw[1:])
+    tw_starts = np.flatnonzero(new_tw)
+    kmax = np.maximum.reduceat(slot, tw_starts) + 1
+    base = np.zeros(len(tw_starts) + 1, np.int64)
+    np.cumsum(kmax, out=base[1:])
+    NP = int(base[-1])
+    tw_of_entry = np.cumsum(new_tw) - 1
+    pass_of_entry = base[tw_of_entry] + slot
 
-    sub = np.zeros((NP, 8, 128), np.int32)
-    lane = np.zeros((NP, 8, 128), np.int32)
+    p_tile = tile[tw_starts].repeat(kmax).astype(np.int32)
+    p_win_grp = win[tw_starts]
+    p_win = p_win_grp.repeat(kmax).astype(np.int64)
+
+    sub = np.zeros((NP, 8, 128), np.int8)
+    lane = np.zeros((NP, 8, 128), np.int8)
     val = np.zeros((NP, 8, 128), vals.dtype)
 
     local_row = (r_s % TILE_ROWS)

@@ -109,8 +109,9 @@ class GatherSpMV:
             self.pass_tile = jnp.asarray(plan.pass_tile)
             self.pass_q0 = jnp.asarray(plan.pass_q0)
             self.pass_first = jnp.asarray(plan.pass_first)
-            self.sub = jnp.asarray(plan.sub)
-            self.lane = jnp.asarray(plan.lane)
+            # transfer int8, widen on device (tunnel bandwidth matters)
+            self.sub = jnp.asarray(plan.sub).astype(jnp.int32)
+            self.lane = jnp.asarray(plan.lane).astype(jnp.int32)
             self.val = jnp.asarray(plan.val, dtype=dtype)
         else:
             # XLA fallback keeps COO-style data

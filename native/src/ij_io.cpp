@@ -270,3 +270,154 @@ int hdrv_write_ij_vector_ascii(const char *path, int64_t ilower,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Gather-plan builder (TPU SpMV setup hot path).
+//
+// Native counterpart of hypredrive_tpu/ops/gather_plan.py:build_plan —
+// one sort by (tile, window, row) then O(n) run-length pass assembly.
+// The Python/numpy version costs ~0.2 s per million entries (argsort +
+// three fancy-index scatters); this does one radix-friendly std::sort
+// and a single fill loop.
+// ---------------------------------------------------------------------------
+
+#include <algorithm>
+#include <vector>
+
+extern "C" {
+
+typedef struct {
+  int64_t np_;        // number of passes
+  int32_t *pass_tile; // [np]
+  int32_t *pass_q0;   // [np]
+  int32_t *pass_first;// [np]
+  int8_t *sub;        // [np*1024]
+  int8_t *lane;       // [np*1024]
+  double *val;        // [np*1024]
+  char err[256];
+} hdrv_plan_buf;
+
+void hdrv_plan_free(hdrv_plan_buf *b) {
+  if (!b) return;
+  free(b->pass_tile);
+  free(b->pass_q0);
+  free(b->pass_first);
+  free(b->sub);
+  free(b->lane);
+  free(b->val);
+  free(b);
+}
+
+hdrv_plan_buf *hdrv_build_gather_plan(const int64_t *rows,
+                                      const int64_t *cols,
+                                      const double *vals, int64_t n,
+                                      int64_t n_rows, int64_t n_cols) {
+  (void)n_rows;
+  (void)n_cols;
+  hdrv_plan_buf *b = (hdrv_plan_buf *)calloc(1, sizeof(hdrv_plan_buf));
+  if (!b) return nullptr;
+  if (n == 0) return b;
+
+  // key = tile<<40 | win<<20 | local_row ; keep entry index in low bits
+  // of a companion array via pair sort
+  std::vector<std::pair<int64_t, int64_t>> keyed((size_t)n);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t tile = rows[i] >> 10;           // /1024
+    int64_t lrow = rows[i] & 1023;
+    int64_t win = cols[i] >> 10;
+    keyed[(size_t)i] = {(tile << 40) | (win << 20) | lrow, i};
+  }
+  std::sort(keyed.begin(), keyed.end());
+
+  // pass 1: count passes = sum over (tile,win) groups of max row-run
+  int64_t np_total = 0;
+  {
+    int64_t run = 0, kmax = 0;
+    int64_t prev_key = -1, prev_tw = -1;
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t key = keyed[(size_t)i].first;
+      int64_t tw = key >> 20;
+      if (tw != prev_tw) {
+        np_total += kmax;
+        kmax = 0;
+        run = 0;
+        prev_tw = tw;
+        prev_key = -1;
+      }
+      if (key != prev_key) {
+        run = 0;
+        prev_key = key;
+      } else {
+        ++run;
+      }
+      if (run + 1 > kmax) kmax = run + 1;
+    }
+    np_total += kmax;
+  }
+
+  b->np_ = np_total;
+  b->pass_tile = (int32_t *)malloc((size_t)np_total * 4);
+  b->pass_q0 = (int32_t *)malloc((size_t)np_total * 4);
+  b->pass_first = (int32_t *)malloc((size_t)np_total * 4);
+  b->sub = (int8_t *)calloc((size_t)np_total * 1024, 1);
+  b->lane = (int8_t *)calloc((size_t)np_total * 1024, 1);
+  b->val = (double *)calloc((size_t)np_total * 1024, 8);
+  if (!b->pass_tile || !b->pass_q0 || !b->pass_first || !b->sub ||
+      !b->lane || !b->val) {
+    snprintf(b->err, sizeof b->err, "out of memory (%lld passes)",
+             (long long)np_total);
+    return b;
+  }
+
+  // pass 2: fill
+  int64_t pbase = 0;       // first pass of current (tile,win) group
+  int64_t kmax = 0;
+  int64_t slot = 0;
+  int64_t prev_key = -1, prev_tw = -1, prev_tile = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t key = keyed[(size_t)i].first;
+    int64_t e = keyed[(size_t)i].second;
+    int64_t tw = key >> 20;
+    if (tw != prev_tw) {
+      pbase += kmax;
+      kmax = 0;
+      prev_tw = tw;
+      prev_key = -1;
+      int64_t tile = key >> 40;
+      int64_t win = (key >> 20) & ((1 << 20) - 1);
+      // metadata for the passes this group will create is filled as
+      // slots appear (kmax grows)
+      (void)tile;
+      (void)win;
+    }
+    if (key != prev_key) {
+      slot = 0;
+      prev_key = key;
+    } else {
+      ++slot;
+    }
+    int64_t tile = key >> 40;
+    int64_t win = (key >> 20) & ((1 << 20) - 1);
+    int64_t p = pbase + slot;
+    if (slot + 1 > kmax) {
+      kmax = slot + 1;
+      b->pass_tile[p] = (int32_t)tile;
+      b->pass_q0[p] = (int32_t)(win * 8);
+      b->pass_first[p] = (prev_tile != tile || p == 0) ? 1 : 0;
+    }
+    int64_t lrow = key & 1023;
+    int64_t c_local = cols[e] - win * 1024;
+    b->sub[p * 1024 + lrow] = (int8_t)(c_local >> 7);
+    b->lane[p * 1024 + lrow] = (int8_t)(c_local & 127);
+    b->val[p * 1024 + lrow] = vals[e];
+  }
+
+  // fix pass_first: recompute from pass_tile sequence (the in-loop guess
+  // is wrong for later slots of a tile's first group)
+  for (int64_t p = 0; p < np_total; ++p)
+    b->pass_first[p] = (p == 0 || b->pass_tile[p] != b->pass_tile[p - 1]) ? 1 : 0;
+  (void)prev_tile;
+  return b;
+}
+
+}  // extern "C"

@@ -85,3 +85,32 @@ def test_scientific_and_negative(tmp_path):
         f.write("0 1 0 1\n0 0 -1.5e-3\n1 1 +2E+4\n")
     A, _ = ij.read_matrix_ascii(path)
     assert np.allclose(A.toarray(), [[-1.5e-3, 0], [0, 2e4]])
+
+
+def test_native_gather_plan_matches_numpy():
+    """The C++ planner must produce an equivalent pass schedule."""
+    import scipy.sparse as sp
+    from hypredrive_tpu.io.native import build_gather_plan
+    from hypredrive_tpu.ops import gather_plan as gp
+
+    A = sp.random(3000, 2500, density=0.01, random_state=9, format="coo")
+    A.data[:] = np.random.default_rng(9).standard_normal(len(A.data))
+    nat = build_gather_plan(A.row.astype(np.int64), A.col.astype(np.int64),
+                            A.data, 3000, 2500)
+    assert nat is not None
+
+    # force the numpy path for comparison
+    import unittest.mock as mock
+    with mock.patch.object(gp, "build_plan", wraps=gp.build_plan):
+        with mock.patch("hypredrive_tpu.io.native.build_gather_plan",
+                        return_value=None):
+            ref = gp.build_plan(A.row, A.col, A.data, 3000, 2500)
+
+    pt, q0, pf, sub, lane, val = nat
+    assert len(pt) == ref.num_passes
+    assert np.array_equal(pt, ref.pass_tile)
+    assert np.array_equal(q0, ref.pass_q0)
+    assert np.array_equal(pf, ref.pass_first)
+    assert np.array_equal(sub, ref.sub)
+    assert np.array_equal(lane, ref.lane)
+    assert np.allclose(val, ref.val)
