@@ -292,6 +292,7 @@ class HypreDrive:
         if self.args is not None and self.args.general.statistics_filename:
             filename = filename or self.args.general.statistics_filename
         self.stats.print(filename=filename)
+        self._stats_printed = True
 
     # getters (ref: HYPREDRV_LinearSolverGet*, src/HYPREDRV.c:3665-3820)
     def get_num_iterations(self) -> int:
@@ -325,9 +326,10 @@ class HypreDrive:
         if self._destroyed:
             return
         if (self.library_mode and self.args is not None
-                and self.args.general.statistics and self.stats.entries):
-            # Library mode auto-prints stats on destroy
-            # (ref: src/HYPREDRV.c:783-888).
+                and self.args.general.statistics and self.stats.entries
+                and not getattr(self, "_stats_printed", False)):
+            # Library mode auto-prints stats on destroy, unless the
+            # application already printed them (ref: src/HYPREDRV.c:783-888).
             self.stats_print()
         self.system = None
         self.precon = None

@@ -80,6 +80,11 @@ def read_matrix_ascii(path: str) -> Tuple[sp.csr_matrix, int]:
         _check_finite(vals, path)
     nrows = iupper - ilower + 1
     ncols = jupper - jlower + 1
+    if len(rows) and (rows.min() < 0 or cols.min() < 0
+                      or rows.max() >= nrows or cols.max() >= ncols):
+        raise HypredrvError(
+            f"matrix entry outside [{ilower},{iupper}]x[{jlower},{jupper}] "
+            f"while reading {path}", ErrorCode.MATRIX)
     A = sp.coo_matrix((vals, (rows, cols)), shape=(nrows, ncols)).tocsr()
     A.sum_duplicates()
     A.sort_indices()
@@ -166,6 +171,14 @@ def read_matrix_binary_part(path: str):
                 f"invalid matrix row range in {path}: "
                 f"row_upper ({row_upper}) < row_lower ({row_lower})",
                 ErrorCode.MATRIX)
+        # validate the advertised nnz against the actual file size before
+        # allocating anything (a fuzzed header must not OOM the process)
+        payload = os.path.getsize(path) - 11 * 8
+        if nnz < 0 or nnz * (2 * iw + vw) > payload:
+            raise HypredrvError(
+                f"matrix part header advertises {nnz} entries but {path} "
+                f"holds only {max(payload, 0)} payload bytes",
+                ErrorCode.MATRIX)
         rows = np.fromfile(f, dtype=_IDX[iw], count=nnz).astype(np.int64)
         cols = np.fromfile(f, dtype=_IDX[iw], count=nnz).astype(np.int64)
         vals = np.fromfile(f, dtype=_VAL[vw], count=nnz).astype(np.float64)
@@ -220,6 +233,12 @@ def read_vector_binary_part(path: str) -> np.ndarray:
             raise HypredrvError(f"invalid value type size {vw} at {path}",
                                 ErrorCode.VECTOR)
         n = int(header[5])
+        payload = os.path.getsize(path) - 8 * 8
+        if n < 0 or n * vw > payload:
+            raise HypredrvError(
+                f"vector part header advertises {n} values but {path} "
+                f"holds only {max(payload, 0)} payload bytes",
+                ErrorCode.VECTOR)
         vals = np.fromfile(f, dtype=_VAL[vw], count=n).astype(np.float64)
     if len(vals) != n:
         raise HypredrvError(f"truncated vector part {path}", ErrorCode.VECTOR)

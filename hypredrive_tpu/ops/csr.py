@@ -57,6 +57,43 @@ def laplacian_2d_5pt(nx: int, ny: Optional[int] = None,
     return A
 
 
+def convection_diffusion_2d(nx: int, ny: Optional[int] = None,
+                            eps: float = 1.0e-2,
+                            velocity=(1.0, 0.5),
+                            dt: float = 0.0,
+                            dtype=np.float64) -> sp.csr_matrix:
+    """Upwind FD convection-diffusion  −ε∆u + v·∇u (+ u/dt when dt>0)
+    on the unit square with Dirichlet boundaries.
+
+    The transient form (dt > 0) is the operator the reference's
+    ``convdif`` example driver assembles per timestep
+    (ref: examples/src/C_convdif/convdif.c); the steady advection-
+    dominated form is what its ``gmres-air.yml`` config targets.
+    Row ordering is x-fastest.
+    """
+    ny = ny or nx
+    h = 1.0 / (nx + 1)
+    bx, by = float(velocity[0]), float(velocity[1])
+
+    def upwind_1d(n, v):
+        """−ε u'' + v u' with first-order upwinding, scaled by 1/h²."""
+        e = np.ones(n)
+        diff = sp.diags([-e[:-1], 2 * e, -e[:-1]], [-1, 0, 1])
+        adv_c = abs(v) * h * e
+        lo = -(v + abs(v)) / 2.0 * h * e[:-1]   # sub-diag: −max(v,0)·h
+        up = (v - abs(v)) / 2.0 * h * e[:-1]    # super-diag: min(v,0)·h
+        adv = sp.diags([lo, adv_c, up], [-1, 0, 1])
+        return (eps * diff + adv) / (h * h)
+
+    Ix, Iy = sp.identity(nx), sp.identity(ny)
+    A = sp.kron(Iy, upwind_1d(nx, bx)) + sp.kron(upwind_1d(ny, by), Ix)
+    if dt > 0:
+        A = A + sp.identity(nx * ny) / dt
+    A = sp.csr_matrix(A, dtype=dtype)
+    A.sort_indices()
+    return A
+
+
 def laplacian_3d_27pt(nx: int, ny: Optional[int] = None, nz: Optional[int] = None,
                       dtype=np.float64) -> sp.csr_matrix:
     """27-point 3-D Laplacian (the reference's lap-27 scaling case,

@@ -15,12 +15,27 @@ import jax.numpy as jnp
 from .hierarchy import AMGState, AMGLevel
 
 
-def _smooth(level: AMGLevel, x, b, sweeps: int):
-    """sweeps × (x += B(b − Ax)) with the level's smoother."""
+def _smooth(level: AMGLevel, x, b, sweeps: int, phase: str = "pre"):
+    """sweeps × (x += B(b − Ax)) with the level's smoother.
+
+    ``phase`` matters only for the AIR F/C schedule (ref: amg.c:986-1015):
+    the down cycle relaxes all points, the up cycle relaxes F-points with
+    a trailing C-point sweep when there are more than two sweeps.
+    """
     if sweeps <= 0:
         return x
     A = level.A
     kind = level.smoother
+    if kind.startswith("air-"):
+        d_inv, fmask = level.smooth_arrays
+        for k in range(sweeps):
+            if phase == "post":
+                mask = (1.0 - fmask) if (sweeps > 2 and k == sweeps - 1) \
+                    else fmask
+            else:
+                mask = 1.0
+            x = x + mask * d_inv * (b - A.matvec(x))
+        return x
     if kind == "chebyshev":
         d_inv, theta, delta, rhos = level.smooth_arrays
         order = rhos.shape[0]
@@ -58,7 +73,7 @@ def _cycle(state: AMGState, lvl: int, b):
         return z
 
     x = jnp.zeros_like(b)
-    x = _smooth(level, x, b, level.pre_sweeps)
+    x = _smooth(level, x, b, level.pre_sweeps, phase="pre")
     r = b - level.A.matvec(x)
     rc = level.R.matvec(r)
     ec = _cycle(state, lvl + 1, rc)
@@ -67,7 +82,7 @@ def _cycle(state: AMGState, lvl: int, b):
         rc2 = rc - levels[lvl + 1].A.matvec(ec)
         ec = ec + _cycle(state, lvl + 1, rc2)
     x = x + level.P.matvec(ec)
-    x = _smooth(level, x, b, level.post_sweeps)
+    x = _smooth(level, x, b, level.post_sweeps, phase="post")
     return x
 
 

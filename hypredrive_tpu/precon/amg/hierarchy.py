@@ -28,6 +28,7 @@ from ...ops.device_matrix import EllMatrix
 from .strength import strength_graph
 from .coarsen import coarsen
 from .interp import build_interpolation
+from .air import build_restriction
 
 # relax-type codes → native smoother kinds
 # (ref vocab: amg.c AMGrlxGetValidValues; sequential GS variants map to
@@ -98,8 +99,16 @@ def _power_lambda_max(A_host: sp.csr_matrix, d_inv: np.ndarray,
 
 
 def _smoother_arrays(kind: str, A_host: sp.csr_matrix, E: EllMatrix,
-                     cheby_args=None, weight: float = 1.0) -> Tuple:
+                     cheby_args=None, weight: float = 1.0,
+                     fmask: Optional[np.ndarray] = None) -> Tuple:
     dtype = E.dtype
+    if kind.startswith("air-"):
+        # F/C-masked Jacobi (ref grid_relax_points schedule): base diag
+        # scaling + a {0,1} F-point mask consumed by the cycle
+        base = _smoother_arrays(kind[4:], A_host, E, cheby_args, weight)
+        if fmask is None:
+            fmask = np.ones(A_host.shape[0])
+        return base + (jnp.asarray(fmask, dtype),)
     if kind == "chebyshev":
         from ..chebyshev import cheby_coefficients
 
@@ -172,6 +181,17 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
     post = int(rlx.up_sweeps) if int(rlx.up_sweeps) >= 0 else num_sweeps
     weight = float(rlx.weight)
 
+    # AIR: non-Galerkin restriction + the F/C relax schedule of
+    # relaxation.points=air (ref: amg.c:870-877,986-1015 — down cycle
+    # relaxes all points, up cycle relaxes F with a trailing C sweep)
+    restriction_type = int(itp.restriction_type)
+    restrict_th = float(itp.restrict_strong_th)
+    restrict_filter = float(itp.restrict_filter_th)
+    air_points = int(rlx.points) == 1
+    if air_points and kind != "chebyshev":
+        base = "jacobi" if up_kind == "jacobi" else "l1-jacobi"
+        kind = "air-" + base
+
     levels: List[AMGLevel] = []
     A_l = sp.csr_matrix(A_host)
     func_l = dof_func if num_functions > 1 else None
@@ -192,16 +212,20 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
             prolongation_type=int(itp.prolongation_type),
             trunc_factor=float(itp.trunc_factor),
             max_nnz_row=int(itp.max_nnz_row))
-        R = sp.csr_matrix(P.T)
-        A_c = sp.csr_matrix(R @ A_l @ P)   # Galerkin RAP (scipy SpGEMM)
+        R_air = build_restriction(A_l, cf, restriction_type,
+                                  restrict_th, restrict_filter)
+        R = R_air if R_air is not None else sp.csr_matrix(P.T)
+        A_c = sp.csr_matrix(R @ A_l @ P)   # (Petrov-)Galerkin RAP
         A_c.sort_indices()
+        fmask = (cf < 0).astype(np.float64) if kind.startswith("air-") \
+            else None
 
         if mesh is not None:
             from ...parallel.dist_matrix import DistEllMatrix
 
             E = DistEllMatrix.from_csr(A_l, mesh, dtype=dtype)
             sm = _pad_smoother_arrays(
-                _smoother_arrays(kind, A_l, E, rlx.chebyshev, weight),
+                _smoother_arrays(kind, A_l, E, rlx.chebyshev, weight, fmask),
                 E.shape[0], mesh)
             levels.append(AMGLevel(
                 A=E,
@@ -217,7 +241,7 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
                 P=EllMatrix.from_csr(P, dtype=dtype),
                 R=EllMatrix.from_csr(R, dtype=dtype),
                 smooth_arrays=_smoother_arrays(kind, A_l, E, rlx.chebyshev,
-                                               weight),
+                                               weight, fmask),
                 smoother=kind,
                 pre_sweeps=pre,
                 post_sweeps=post,

@@ -203,16 +203,49 @@ def _assemble_P(W: sp.csr_matrix, cf: np.ndarray, F: np.ndarray,
     return P
 
 
+def one_point_interpolation(A: sp.csr_matrix, S: sp.csr_matrix,
+                            cf: np.ndarray) -> sp.csr_matrix:
+    """One-point injection (hypre type 100): each F-point takes its
+    strongest C-neighbor with weight 1 — the textbook AIR companion."""
+    n = A.shape[0]
+    F = np.flatnonzero(cf < 0)
+    C = np.flatnonzero(cf > 0)
+    cmap = -np.ones(n, dtype=np.int64)
+    cmap[C] = np.arange(len(C))
+
+    A_sc = sp.csr_matrix(abs(A).multiply(S.astype(bool)))[F][:, C].tocsr()
+    counts = np.diff(A_sc.indptr)
+    has = counts > 0
+    # argmax |a_ij| within each F row of the strong-C block: mark row
+    # maxima, then np.unique keeps the first maximal entry per row
+    rows = np.repeat(np.arange(len(F)), counts)
+    best = np.zeros(len(F), dtype=np.int64)
+    bestv = np.full(len(F), -1.0)
+    np.maximum.at(bestv, rows, A_sc.data)
+    is_best = np.flatnonzero(A_sc.data == bestv[rows])
+    _, first_pos = np.unique(rows[is_best], return_index=True)
+    sel = is_best[first_pos]
+    best[rows[sel]] = A_sc.indices[sel]
+    rowsP = np.concatenate([C, F[has]])
+    colsP = np.concatenate([np.arange(len(C)), best[has]])
+    vals = np.ones(len(rowsP))
+    P = sp.csr_matrix((vals, (rowsP, colsP)), shape=(n, len(C)))
+    P.sort_indices()
+    return P
+
+
 def build_interpolation(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
                         prolongation_type: int = 6, trunc_factor: float = 0.0,
                         max_nnz_row: int = 4) -> sp.csr_matrix:
     """Dispatch on prolongation_type (ref vocab amg.c:250-274).
 
-    Types map onto the three native builders: direct-family codes (0-3,
-    8-9) → direct; extended family (6,7,14,16,17,18) → ext(+i); anything
-    else falls back to ext+i (the reference default and the robust choice
-    on PMIS grids).
+    Types map onto the native builders: direct-family codes (0-3,
+    8-9) → direct; extended family (6,7,14,16,17,18) → ext(+i);
+    100 → one-point injection; anything else falls back to ext+i (the
+    reference default and the robust choice on PMIS grids).
     """
+    if prolongation_type == 100:
+        return one_point_interpolation(A, S, cf)
     if prolongation_type in (3, 15):  # direct / direct_sep_weights
         return direct_interpolation(A, S, cf, trunc_factor, max_nnz_row)
     if prolongation_type in (14, 16):  # extended (no +i)

@@ -189,3 +189,151 @@ def test_amg_w_cycle():
     def err(z):
         return float(np.linalg.norm(A @ np.asarray(z) - np.asarray(r)))
     assert err(zw) <= err(zv) * 1.05
+
+
+# ---------------------------------------------------------------------------
+# AIR (approximate ideal restriction) — ref: amg.c:276-284,870-877 and the
+# C_convdif example's gmres-air.yml
+# ---------------------------------------------------------------------------
+
+def _convdif_args(**overrides):
+    from hypredrive_tpu.config.sections import AMG_SCHEMA
+
+    a = AMG_SCHEMA.defaults()
+    a.relaxation.points = 1
+    a.relaxation.down_type = 0
+    a.relaxation.up_type = 0
+    a.relaxation.down_sweeps = 0
+    a.relaxation.up_sweeps = 3
+    for key, val in overrides.items():
+        obj = a
+        parts = key.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        setattr(obj, parts[-1], val)
+    return a
+
+
+def test_lair_annihilation():
+    """lAIR rows satisfy the local ideal-restriction constraint:
+    (R·A)[i, j] = 0 for every F-column j inside row i's stencil."""
+    from hypredrive_tpu.ops.csr import convection_diffusion_2d
+    from hypredrive_tpu.precon.amg.air import (lair_restriction,
+                                               _restrict_pattern)
+
+    A = convection_diffusion_2d(16, eps=1e-3)
+    S = strength_graph(A, 0.25, sabs=True)
+    cf = pmis(S)
+    R = lair_restriction(A, cf, strong_th=0.25, distance=1)
+    pat, F, C = _restrict_pattern(A, cf, 0.25, 1)
+    RA = (R @ A).tocsr()
+    RA_f = RA[:, F].toarray()
+    mask = pat.toarray() > 0
+    assert np.abs(RA_f[mask]).max() < 1e-10
+
+
+def test_air_beats_p_transpose_on_advection():
+    """On an advection-dominated operator, AIR-2 + F/C relaxation needs
+    clearly fewer GMRES iterations than Galerkin R = Pᵀ (the reason the
+    reference ships gmres-air.yml)."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse.linalg as spla
+    from hypredrive_tpu.ops.csr import convection_diffusion_2d
+    from hypredrive_tpu.precon.amg.hierarchy import setup_hierarchy
+    from hypredrive_tpu.precon.amg.cycle import amg_apply
+    from hypredrive_tpu.config.sections import AMG_SCHEMA
+
+    A = convection_diffusion_2d(32, eps=1e-4)
+    n = A.shape[0]
+    b = np.random.default_rng(0).standard_normal(n)
+
+    def iters(args):
+        state = setup_hierarchy(A, args)
+        f = jax.jit(amg_apply)
+        M = spla.LinearOperator(
+            (n, n), matvec=lambda r: np.array(f(state, jnp.asarray(r))))
+        count = [0]
+        x, _ = spla.gmres(A, b, M=M, rtol=1e-8, restart=30, maxiter=100,
+                          callback=lambda rk: count.__setitem__(0, count[0] + 1),
+                          callback_type="pr_norm")
+        assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-7
+        return count[0]
+
+    it_pt = iters(AMG_SCHEMA.defaults())
+    it_air = iters(_convdif_args(**{"interpolation.restriction_type": 2}))
+    assert it_air < it_pt
+
+
+def test_neumann_air_structure():
+    """Neumann AIR R has identity C-block and reduces to -A_cf·D⁻¹ at
+    degree 0."""
+    from hypredrive_tpu.ops.csr import convection_diffusion_2d
+    from hypredrive_tpu.precon.amg.air import neumann_restriction
+
+    A = convection_diffusion_2d(12, eps=1e-2)
+    S = strength_graph(A, 0.25, sabs=True)
+    cf = pmis(S)
+    F = np.flatnonzero(cf < 0)
+    C = np.flatnonzero(cf > 0)
+    R = neumann_restriction(A, cf, degree=0)
+    assert R.shape == (len(C), A.shape[0])
+    R_c = R[:, C].toarray()
+    assert np.allclose(R_c, np.eye(len(C)))
+    d = A[F][:, F].diagonal()
+    expect = -(A[C][:, F].toarray() / d[None, :])
+    assert np.allclose(R[:, F].toarray(), expect)
+
+
+def test_one_point_interpolation():
+    """One-point injection: C rows identity, F rows a single unit weight
+    at the strongest C-neighbor."""
+    from hypredrive_tpu.precon.amg.interp import one_point_interpolation
+
+    A = laplacian_2d_5pt(12)
+    S = strength_graph(A, 0.25)
+    cf = pmis(S)
+    P = one_point_interpolation(A, S, cf)
+    nC = int((cf > 0).sum())
+    assert P.shape == (A.shape[0], nC)
+    counts = np.diff(P.indptr)
+    assert counts.max() <= 1
+    C = np.flatnonzero(cf > 0)
+    assert np.allclose(P[C].toarray(), np.eye(nC))
+    assert np.all((P.data == 1.0))
+
+
+def test_air_via_config():
+    """Full config path: GMRES + AMG with air_2 restriction converges on
+    the generated convection-diffusion system."""
+    from hypredrive_tpu.ops.csr import convection_diffusion_2d
+
+    A = convection_diffusion_2d(24, eps=1e-3)
+    cfg = {
+        "general": {},
+        "linear_system": {"rhs_mode": "ones"},
+        "solver": {"gmres": {"relative_tol": 1e-8, "max_iter": 60,
+                             "krylov_dim": 30}},
+        "preconditioner": {"amg": {
+            "interpolation": {"prolongation_type": "extended+i",
+                              "restriction_type": "air_2",
+                              "restrict_strong_th": 0.25},
+            "coarsening": {"type": "pmis", "strong_th": 0.25,
+                           "max_coarse_size": 64},
+            "relaxation": {"points": "air", "down_type": "jacobi",
+                           "down_sweeps": 0, "up_type": "jacobi",
+                           "up_sweeps": 3},
+        }},
+    }
+    drv = hd.HypreDrive()
+    try:
+        drv.input_args_from_dict(cfg)
+        drv.set_matrix_from_csr(A.indptr, A.indices, A.data)
+        drv.set_rhs(np.ones(A.shape[0]))
+        drv.precon_create()
+        drv.linear_solver_create()
+        drv.linear_solver_setup()
+        res = drv.linear_solver_apply()
+        assert res.converged and res.iters <= 15
+    finally:
+        drv.destroy()

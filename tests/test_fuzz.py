@@ -1,0 +1,276 @@
+"""Fault-injection / fuzz-regression tier.
+
+Mirrors the reference's fuzz harness modes — parse (YAML), matrix,
+vector, lsseq binary readers, and full-solve configs (ref:
+tests/fuzz/harness.c, regression corpus tests/fuzz/regressions/*).
+Every malformed input must raise a typed ``HypredrvError``/``ConfigError``
+— never crash, hang, or silently produce garbage.
+
+The corpus is deterministic (seeded mutations of valid artifacts), which
+doubles as the fault-injection suite: malformed headers, truncated
+files, NaN coefficients, out-of-bounds indices.
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from hypredrive_tpu.core.errors import HypredrvError, ConfigError
+from hypredrive_tpu.config.parse import parse_input
+from hypredrive_tpu.io import ij, lsseq
+
+
+VALID_YAML = """
+linear_system:
+  rhs_mode: ones
+solver: pcg
+preconditioner: amg
+"""
+
+
+# ---------------------------------------------------------------------------
+# parse mode
+# ---------------------------------------------------------------------------
+
+PARSE_CORPUS = [
+    "solver: [unclosed",                      # broken flow sequence
+    "a:\n\t  tabs: everywhere",               # tab indentation
+    "linear_system:\n   bad_key: 1\nsolver: pcg\npreconditioner: amg",
+    "linear_system:\n  rhs_mode: nonsense\nsolver: pcg\npreconditioner: amg",
+    "solver: warp_drive\nlinear_system:\n  rhs_mode: ones\npreconditioner: amg",
+    "preconditioner:\n  amg:\n    coarsening:\n      type: 37x\n"
+    "linear_system:\n  rhs_mode: ones\nsolver: pcg",
+    ":\n::\n:::",                             # degenerate keys
+    "solver: pcg",                            # missing required sections
+    "include: /nonexistent/include.yml\nsolver: pcg",
+]
+
+
+@pytest.mark.parametrize("text", PARSE_CORPUS)
+def test_parse_rejects_malformed(text):
+    with pytest.raises((HypredrvError, ConfigError)):
+        parse_input(text)
+
+
+def test_include_cycle_detected(tmp_path):
+    a = tmp_path / "a.yml"
+    b = tmp_path / "b.yml"
+    a.write_text(f"include: {b}\nsolver: pcg\n")
+    b.write_text(f"include: {a}\n")
+    with pytest.raises((HypredrvError, ConfigError)):
+        parse_input(str(a))
+
+
+def test_parse_survives_random_bytes():
+    rng = np.random.default_rng(1234)
+    for _ in range(50):
+        blob = bytes(rng.integers(0, 256, size=200, dtype=np.uint8))
+        text = blob.decode("utf-8", errors="replace")
+        try:
+            parse_input(text)
+        except (HypredrvError, ConfigError):
+            pass  # typed rejection is the contract
+
+
+# ---------------------------------------------------------------------------
+# matrix mode (binary reader; header layout ref: src/internal/matrix.c:36-141)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def valid_part(tmp_path):
+    A = sp.random(16, 16, density=0.2, format="csr", random_state=3)
+    A = A + sp.identity(16)
+    path = str(tmp_path / "A.00000.bin")
+    coo = A.tocoo()
+    ij.write_matrix_binary_part(path, coo.row, coo.col, coo.data,
+                                (16, 16), A.nnz, (0, 15))
+    return path, A.tocsr()
+
+
+def _mutate(path: str, offset: int, data: bytes) -> str:
+    out = path + ".mut"
+    with open(path, "rb") as f:
+        raw = bytearray(f.read())
+    raw[offset:offset + len(data)] = data
+    with open(out, "wb") as f:
+        f.write(raw)
+    return out
+
+
+def test_matrix_reader_roundtrip(valid_part):
+    path, A = valid_part
+    rows, cols, vals, header = ij.read_matrix_binary_part(path)
+    B = sp.csr_matrix((vals, (rows, cols)), shape=(16, 16))
+    assert np.allclose(B.toarray(), A.toarray())
+
+
+@pytest.mark.parametrize("offset,blob", [
+    # header layout: 11 x uint64 — version, iw, vw, grows, gcols, gnnz,
+    # nnz, rl, ru, cl, cu (ref: src/internal/matrix.c:36-141)
+    (8, struct.pack("<Q", 3)),          # bad index width
+    (16, struct.pack("<Q", 0)),         # bad value width
+    (48, struct.pack("<Q", 2 ** 40)),   # absurd local nnz → truncation
+    (56, struct.pack("<QQ", 9, 2)),     # row_upper < row_lower
+])
+def test_matrix_reader_rejects_bad_header(valid_part, offset, blob):
+    path, _ = valid_part
+    with pytest.raises(HypredrvError):
+        ij.read_matrix_binary_part(_mutate(path, offset, blob))
+
+
+def test_matrix_reader_rejects_truncation(valid_part):
+    path, _ = valid_part
+    with open(path, "rb") as f:
+        raw = f.read()
+    out = path + ".trunc"
+    with open(out, "wb") as f:
+        f.write(raw[: len(raw) // 2])
+    with pytest.raises(HypredrvError):
+        ij.read_matrix_binary_part(out)
+
+
+def test_matrix_reader_rejects_nan(tmp_path):
+    path = str(tmp_path / "nan.00000.bin")
+    rows = np.array([0, 1])
+    cols = np.array([0, 1])
+    vals = np.array([1.0, np.nan])
+    ij.write_matrix_binary_part(path, rows, cols, vals, (2, 2), 2, (0, 1))
+    with pytest.raises(HypredrvError):
+        ij.read_matrix_binary_part(path)
+
+
+def test_matrix_ascii_rejects_oob(tmp_path):
+    path = str(tmp_path / "oob.ij")
+    path_file = tmp_path / "oob.ij"
+    path_file.write_text("0 1 0 1\n0 0 1.0\n9 9 2.0\n")  # 9 > iupper
+    with pytest.raises(HypredrvError):
+        ij.read_matrix_ascii(path)
+
+
+def test_matrix_reader_fuzz_random_headers(tmp_path):
+    rng = np.random.default_rng(7)
+    for i in range(30):
+        path = str(tmp_path / f"r{i}.bin")
+        with open(path, "wb") as f:
+            f.write(bytes(rng.integers(0, 256, size=128, dtype=np.uint8)))
+        with pytest.raises(HypredrvError):
+            ij.read_matrix_binary_part(path)
+
+
+# ---------------------------------------------------------------------------
+# vector mode
+# ---------------------------------------------------------------------------
+
+def test_vector_reader_rejects_garbage(tmp_path):
+    rng = np.random.default_rng(11)
+    for i in range(20):
+        path = str(tmp_path / f"v{i}.bin")
+        with open(path, "wb") as f:
+            f.write(bytes(rng.integers(0, 256, size=64, dtype=np.uint8)))
+        with pytest.raises(HypredrvError):
+            ij.read_vector_binary_part(path)
+
+
+def test_vector_ascii_rejects_bad_header(tmp_path):
+    p = tmp_path / "v.ij"
+    p.write_text("not a header\n1.0\n")
+    with pytest.raises(HypredrvError):
+        ij.read_vector_ascii(str(p))
+
+
+# ---------------------------------------------------------------------------
+# lsseq mode (container header ref: include/internal/lsseq.h:20-47)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def valid_lsseq(tmp_path):
+    A = sp.identity(8, format="csr") * 2.0
+    path = str(tmp_path / "seq.lsseq")
+    lsseq.write_lsseq(path, [
+        {"A": A, "b": np.ones(8)},
+        {"A": A * 1.5, "b": np.zeros(8)},
+    ])
+    return path
+
+
+def test_lsseq_rejects_bad_magic(valid_lsseq):
+    with pytest.raises(HypredrvError):
+        lsseq.LSSeqFile(_mutate(valid_lsseq, 0, b"NOTMAGIC"))
+
+
+def test_lsseq_rejects_truncated(valid_lsseq):
+    with open(valid_lsseq, "rb") as f:
+        raw = f.read()
+    out = valid_lsseq + ".t"
+    with open(out, "wb") as f:
+        f.write(raw[:40])
+    with pytest.raises(HypredrvError):
+        lsseq.LSSeqFile(out)
+
+
+def test_lsseq_rejects_corrupt_info_hash(valid_lsseq):
+    # flip a byte well past the header to corrupt the hashed info block
+    with open(valid_lsseq, "rb") as f:
+        raw = bytearray(f.read())
+    probe = 96
+    raw[probe] ^= 0xFF
+    out = valid_lsseq + ".c"
+    with open(out, "wb") as f:
+        f.write(raw)
+    try:
+        r = lsseq.LSSeqFile(out)
+        r.read_matrix(0)  # either reader init or read must reject
+    except HypredrvError:
+        return
+    pytest.skip("mutation hit non-critical padding")
+
+
+def test_lsseq_out_of_range(valid_lsseq):
+    r = lsseq.LSSeqFile(valid_lsseq)
+    with pytest.raises(HypredrvError):
+        r.read_matrix(99)
+
+
+# ---------------------------------------------------------------------------
+# solve mode: full pipeline on hostile configs must fail cleanly
+# ---------------------------------------------------------------------------
+
+def test_solve_with_singular_matrix_reports_failure():
+    import hypredrive_tpu as hd
+
+    A = sp.csr_matrix(np.zeros((4, 4)))
+    drv = hd.HypreDrive()
+    try:
+        drv.input_args_from_dict({
+            "linear_system": {},
+            "solver": {"pcg": {"max_iter": 5}},
+            "preconditioner": "none",
+        })
+        drv.set_matrix_from_csr(A.indptr, A.indices, A.data)
+        drv.set_rhs(np.ones(4))
+        drv.precon_create()
+        drv.linear_solver_create()
+        drv.linear_solver_setup()
+        res = drv.linear_solver_apply()
+        assert not res.converged  # soft failure, recorded not raised
+    finally:
+        drv.destroy()
+
+
+def test_solve_rejects_shape_mismatch():
+    import hypredrive_tpu as hd
+
+    A = sp.identity(4, format="csr")
+    drv = hd.HypreDrive()
+    try:
+        drv.input_args_from_dict({
+            "linear_system": {}, "solver": "pcg", "preconditioner": "none",
+        })
+        drv.set_matrix_from_csr(A.indptr, A.indices, A.data)
+        with pytest.raises((HypredrvError, ValueError)):
+            drv.set_rhs(np.ones(9))
+    finally:
+        drv.destroy()
