@@ -150,8 +150,41 @@ def _pad_smoother_arrays(arrs: Tuple, n_pad: int, mesh) -> Tuple:
     return tuple(out)
 
 
+def _aggressive_interpolation(A_l, S, cf1, itp, lvl, ctype, theta, sabs,
+                              func_l, trunc_factor, max_nnz_row):
+    """Two-stage (aggressive) coarsening of one level: PMIS → P₁ →
+    Galerkin A₁ → PMIS → P₂; returns (P₁·P₂, combined cf marks).
+
+    This is the matrix-matrix formulation of hypre's 2-stage aggressive
+    prolongations (ref: amg.c:330-347; agg prolongation vocab
+    2_stage_extended+i etc.) — the coarse grid of the fused level is the
+    distance-2 C-set."""
+    p_type = int(itp.prolongation_type)
+    P1 = build_interpolation(A_l, S, cf1, prolongation_type=p_type,
+                             trunc_factor=trunc_factor,
+                             max_nnz_row=max_nnz_row)
+    C1 = np.flatnonzero(cf1 > 0)
+    A1 = sp.csr_matrix(P1.T @ A_l @ P1)
+    func1 = func_l[C1] if func_l is not None else None
+    S1 = strength_graph(A1, theta=theta, sabs=sabs, dof_func=func1)
+    if S1.nnz == 0:
+        return P1, cf1
+    cf2 = coarsen(S1, ctype=ctype, seed=1000 + lvl)
+    if (cf2 > 0).sum() in (0, len(C1)):
+        return P1, cf1
+    P2 = build_interpolation(A1, S1, cf2, prolongation_type=p_type,
+                             trunc_factor=trunc_factor,
+                             max_nnz_row=max_nnz_row)
+    P = sp.csr_matrix(P1 @ P2)
+    P.sort_indices()
+    cf = cf1.copy()
+    cf[C1[cf2 < 0]] = -1
+    return P, cf
+
+
 def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
                     dof_func: Optional[np.ndarray] = None,
+                    interp_vectors: Optional[np.ndarray] = None,
                     mesh=None) -> AMGState:
     """Build the multigrid hierarchy from the AMG config Args
     (schema: config/sections.py AMG_SCHEMA; ref arg structs amg.h:23-123).
@@ -196,6 +229,18 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
     A_l = sp.csr_matrix(A_host)
     func_l = dof_func if num_functions > 1 else None
 
+    # interpolation-vector (RBM) augmentation — active when the variant
+    # is enabled and vectors were provided (ref: amg.c:602 AMGSetRBMs)
+    V_l = None
+    if interp_vectors is not None and int(amg_args.interp_vec_variant) > 0:
+        V_l = np.atleast_2d(np.asarray(interp_vectors, dtype=np.float64))
+        if V_l.shape[0] != A_l.shape[0]:
+            V_l = V_l.T
+
+    agg_levels = int(amg_args.aggressive.num_levels)
+    agg_trunc = float(amg_args.aggressive.trunc_factor)
+    agg_pmax = int(amg_args.aggressive.max_nnz_row)
+
     for lvl in range(max_levels - 1):
         n = A_l.shape[0]
         if n <= max_coarse or (min_coarse and n <= min_coarse):
@@ -207,11 +252,29 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
         nC = int((cf > 0).sum())
         if nC == 0 or nC >= n:
             break
-        P = build_interpolation(
-            A_l, S, cf,
-            prolongation_type=int(itp.prolongation_type),
-            trunc_factor=float(itp.trunc_factor),
-            max_nnz_row=int(itp.max_nnz_row))
+        if lvl < agg_levels and restriction_type == 0 and nC > max_coarse:
+            # aggressive coarsening: a second PMIS pass fused into this
+            # level via two-stage interpolation P = P₁·P₂
+            # (ref: amg.c:330-347 aggressive.{num_levels,prolongation_type})
+            P, cf = _aggressive_interpolation(
+                A_l, S, cf, itp, lvl,
+                ctype=int(csn.type), theta=theta, sabs=sabs,
+                func_l=func_l,
+                trunc_factor=agg_trunc if agg_trunc > 0
+                else float(itp.trunc_factor),
+                max_nnz_row=agg_pmax if agg_pmax > 0
+                else int(itp.max_nnz_row))
+            nC = int((cf > 0).sum())
+        else:
+            P = build_interpolation(
+                A_l, S, cf,
+                prolongation_type=int(itp.prolongation_type),
+                trunc_factor=float(itp.trunc_factor),
+                max_nnz_row=int(itp.max_nnz_row))
+        if V_l is not None:
+            from .rbm import augment_interpolation
+
+            P, V_c = augment_interpolation(P, cf, V_l)
         R_air = build_restriction(A_l, cf, restriction_type,
                                   restrict_th, restrict_filter)
         R = R_air if R_air is not None else sp.csr_matrix(P.T)
@@ -248,6 +311,8 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
             ))
         if func_l is not None:
             func_l = func_l[cf > 0]
+        if V_l is not None:
+            V_l = V_c
         A_l = A_c
         if A_l.shape[0] <= max_coarse:
             break

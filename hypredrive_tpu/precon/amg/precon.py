@@ -5,9 +5,10 @@ relaxation/smoother sections; ref: src/internal/amg.c arg structs).
 Setup builds the hierarchy on host (strength → PMIS → ext+i → RAP);
 apply runs jitted V/W cycles on device.
 
-RBM support (elasticity): near-null-space vectors tighten interpolation
-via the num_functions/dof_func path; full interp-vector variants
-(ref: amg.c:602 AMGSetRBMs) are a later milestone.
+RBM support (elasticity): near-null-space vectors set via the API are
+folded into interpolation by minimum-norm weight correction
+(precon/amg/rbm.py; ref: amg.c:602 AMGSetRBMs / interp_vec_variant),
+on top of the num_functions/dof_func unknown-based coarsening path.
 """
 
 from __future__ import annotations
@@ -40,6 +41,7 @@ class AMGPrecon(Preconditioner):
                else contextlib.nullcontext())
         with ctx:
             self.state = setup_hierarchy(
-                A_host, self.args, dtype=system.dtype, dof_func=dof_func)
+                A_host, self.args, dtype=system.dtype, dof_func=dof_func,
+                interp_vectors=getattr(system, "near_nullspace", None))
         log(2, hierarchy_summary(self.state))
         self.is_setup = True

@@ -337,3 +337,97 @@ def test_air_via_config():
         assert res.converged and res.iters <= 15
     finally:
         drv.destroy()
+
+
+def test_rbm_augmentation_property():
+    """Augmented P interpolates the near-null-space modes exactly
+    wherever the row pattern has enough degrees of freedom, and never
+    worsens the fit (ref: AMGSetRBMs, amg.c:602)."""
+    from hypredrive_tpu.ops.csr import elasticity_3d, rigid_body_modes
+    from hypredrive_tpu.precon.amg.rbm import augment_interpolation
+    from hypredrive_tpu.precon.amg.interp import extended_i_interpolation
+
+    A, coords = elasticity_3d(6, 3, 3)
+    V = rigid_body_modes(coords, 3)
+    S = strength_graph(A, 0.25)
+    cf = pmis(S)
+    P = extended_i_interpolation(A, S, cf, max_nnz_row=8)
+    P2, Vc = augment_interpolation(P, cf, V)
+
+    assert P2.shape == P.shape
+    assert (P2.indptr == P.indptr).all() and (P2.indices == P.indices).all()
+    C = np.flatnonzero(cf > 0)
+    assert np.allclose(Vc, V[C])
+    # per-row fit never worsens (correction projects the residual onto
+    # null(V_Jᵀ V_J)), and full-rank stencils become exact
+    r_before = np.linalg.norm(P @ Vc - V, axis=1)
+    r_after = np.linalg.norm(P2 @ Vc - V, axis=1)
+    assert (r_after <= r_before + 1e-10).all()
+    indptr = P.indptr
+    for i in np.flatnonzero((cf < 0) & (np.diff(indptr) >= 6))[:20]:
+        VJ = Vc[P.indices[indptr[i]:indptr[i + 1]]]
+        if np.linalg.matrix_rank(VJ) == 6:
+            assert r_after[i] < 1e-8
+
+
+def test_rbm_via_api_converges():
+    """End-to-end: near-null-space via the API keeps elasticity PCG in
+    the reference's iteration class (≤ 21, refOutput/elasticity.txt)."""
+    from hypredrive_tpu.ops.csr import elasticity_3d, rigid_body_modes
+
+    A, coords = elasticity_3d(8, 4, 4)
+    rbm = rigid_body_modes(coords, 3)
+    drv = hd.HypreDrive()
+    try:
+        drv.input_args_from_dict({
+            "linear_system": {},
+            "solver": {"pcg": {"relative_tol": 1e-8, "max_iter": 100}},
+            "preconditioner": {"amg": {"coarsening": {
+                "num_functions": 3, "strong_th": 0.8}}},
+        })
+        drv.set_matrix_from_csr(A.indptr, A.indices, A.data)
+        drv.system.set_dofmap(np.arange(A.shape[0]) % 3)
+        drv.set_near_nullspace([rbm[:, k] for k in range(6)])
+        drv.set_rhs(np.ones(A.shape[0]))
+        drv.precon_create()
+        drv.linear_solver_create()
+        drv.linear_solver_setup()
+        res = drv.linear_solver_apply()
+        assert res.converged and res.iters <= 21
+    finally:
+        drv.destroy()
+
+
+def test_aggressive_coarsening_cuts_complexity():
+    """Aggressive (two-stage) coarsening must cut operator complexity
+    sharply while staying convergent (ref: amg.c:330-347; hypre's own
+    tradeoff: fewer/smaller coarse operators, a few more iterations)."""
+    from hypredrive_tpu.precon.amg.hierarchy import setup_hierarchy
+    from hypredrive_tpu.precon.amg.cycle import amg_apply
+    from hypredrive_tpu.config.sections import AMG_SCHEMA
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse.linalg as spla
+
+    A = laplacian_3d_7pt(16)
+    n = A.shape[0]
+
+    def build(agg):
+        a = AMG_SCHEMA.defaults()
+        a.aggressive.num_levels = agg
+        state = setup_hierarchy(A, a)
+        return state, sum(l.A.nnz for l in state.levels) / A.nnz
+
+    state0, cx0 = build(0)
+    state1, cx1 = build(1)
+    assert cx1 < cx0 * 0.75
+    # still converges in a sane count
+    f = jax.jit(amg_apply)
+    M = spla.LinearOperator(
+        (n, n), matvec=lambda r: np.array(f(state1, jnp.asarray(r))))
+    cnt = [0]
+    b = np.ones(n)
+    x, _ = spla.cg(A, b, M=M, rtol=1e-8, maxiter=60,
+                   callback=lambda xk: cnt.__setitem__(0, cnt[0] + 1))
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-7
+    assert cnt[0] <= 20
