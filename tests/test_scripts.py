@@ -1,0 +1,92 @@
+"""Tests for the offline scripts (pure parsing/normalization logic).
+
+Mirrors the reference's script tooling around the stats table and golden
+outputs (ref: scripts/analyze_statistics.py, scripts/compare_output.sh).
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name):
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO, "scripts", f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod  # dataclasses resolve annotations via sys.modules
+    spec.loader.exec_module(mod)
+    return mod
+
+
+TABLE = """\
+STATISTICS SUMMARY for demo:
+
++--------+-------------+-------------+-------------+------------+------------+--------+
+|        |    LS build |       setup |       solve |    initial |   relative |        |
+|  Entry |  times [ms] |  times [ms] |  times [ms] |  res. norm |  res. norm |  iters |
++--------+-------------+-------------+-------------+------------+------------+--------+
+|      0 |     205.277 |      86.735 |    1751.535 |   3.16e+01 |   4.20e-07 |      5 |
+|    1.1 |             |      31.141 |     565.518 |   3.16e+01 |   4.20e-07 |      6 |
++--------+-------------+-------------+-------------+------------+------------+--------+
+"""
+
+
+def test_analyze_statistics_parse(tmp_path):
+    mod = _load("analyze_statistics")
+    p = tmp_path / "run.log"
+    p.write_text(TABLE)
+    rows = mod.parse_log(str(p))
+    assert len(rows) == 2
+    assert rows[0].run == "demo"
+    assert rows[0].iters == 5 and rows[1].iters == 6
+    assert rows[0].build_time == 205.277
+    assert rows[1].build_time is None  # reused system: empty cell
+    assert rows[1].entry == "1.1"      # hierarchical path label
+    assert rows[0].rel_res_norm == 4.2e-07
+
+
+def test_compare_output_normalizes_times(tmp_path):
+    mod = _load("compare_output")
+    a = TABLE.replace("205.277", "999.999").replace("1751.535", "0.001")
+    a = "Date and time: 2026-08-18 04:19:01\n" + a
+    b = "Date and time: 2020-01-01 00:00:00\n" + TABLE
+    assert mod.normalize(a) == mod.normalize(b)
+    # but iteration-count changes must NOT normalize away
+    c = TABLE.replace("|      5 |", "|      9 |")
+    assert mod.normalize(c) != mod.normalize(TABLE)
+    # nor residual-norm changes
+    d = TABLE.replace("4.20e-07", "4.20e-01")
+    assert mod.normalize(d) != mod.normalize(TABLE)
+
+
+def test_eigplot_reader(tmp_path):
+    mod = _load("eigplot")
+    p = tmp_path / "eig.txt"
+    p.write_text("3\n1.0e0\n2.0e0 5.0e-1\n3.0e0\n")
+    w = mod.read_eigenvalues(str(p))
+    assert w.shape == (3,)
+    assert np.isclose(w[1], 2.0 + 0.5j)
+
+
+def test_spmat_reorder_roundtrip(tmp_path):
+    mod = _load("spmat_reorder")
+    from hypredrive_tpu.io import ij
+    from hypredrive_tpu.ops.csr import laplacian_2d_5pt
+
+    A = laplacian_2d_5pt(8)
+    src = str(tmp_path / "A.ij")
+    out = str(tmp_path / "A_rcm.ij")
+    ij.write_matrix_ascii(src, A)
+    rc = mod.main([src, "-o", out, "--method", "rcm"])
+    assert rc == 0
+    B, _ = ij.read_matrix_auto(out)
+    assert B.shape == A.shape and B.nnz == A.nnz
+    # symmetric permutation preserves the spectrum's extremes (checked
+    # cheaply via row-sum invariants and symmetry)
+    assert np.isclose(B.sum(), A.sum())
+    assert abs(B - B.T).max() < 1e-14
