@@ -116,12 +116,19 @@ def main():
     solve_t = time.perf_counter() - t0
     iters_big = int(iters)
 
-    # ---- ex1-class parity (hypre: 6 iters, refOutput/ex1.txt) -------------
+    # ---- ex1-class parity (hypre: 6 iters @ rtol 1e-6, refOutput/ex1.txt) --
+    @jax.jit
+    def solve_ex1(A, state, b, x0):
+        mv = lambda v: A.matvec(v)
+        pc = lambda r: amg_apply(state, r)
+        return _pcg_core(mv, pc, b, x0, jnp.asarray(1e-6, dtype),
+                         jnp.asarray(0.0, dtype), 100, True, 0)
+
     A1_host = laplacian_3d_7pt(10, dtype=np.float32)
     A1 = EllMatrix.from_csr(A1_host, dtype=dtype)
     s1 = setup_hierarchy(A1_host, AMG_SCHEMA.defaults(), dtype=dtype)
     b1 = jnp.ones(1000, dtype=dtype)
-    out1 = solve(A1, s1, b1, jnp.zeros(1000, dtype=dtype))
+    out1 = solve_ex1(A1, s1, b1, jnp.zeros(1000, dtype=dtype))
     ex1_iters = max(1, int(out1[1]))
     vs_baseline = 6.0 / ex1_iters
 

@@ -100,12 +100,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.hdrv_write_ij_vector_ascii.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
-        lib.hdrv_build_gather_plan.restype = ctypes.POINTER(_PlanBuf)
-        lib.hdrv_build_gather_plan.argtypes = [
+        lib.hdrv_plan_begin.restype = ctypes.c_void_p
+        lib.hdrv_plan_begin.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_double)] + [ctypes.c_int64] * 3
-        lib.hdrv_plan_free.restype = None
-        lib.hdrv_plan_free.argtypes = [ctypes.POINTER(_PlanBuf)]
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+        lib.hdrv_plan_np.restype = ctypes.c_int64
+        lib.hdrv_plan_np.argtypes = [ctypes.c_void_p]
+        lib.hdrv_plan_err.restype = ctypes.c_char_p
+        lib.hdrv_plan_err.argtypes = [ctypes.c_void_p]
+        lib.hdrv_plan_fill.restype = None
+        lib.hdrv_plan_fill.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_void_p, ctypes.c_int]
+        lib.hdrv_plan_end.restype = None
+        lib.hdrv_plan_end.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -114,37 +124,47 @@ def build_gather_plan(rows, cols, vals, n_rows, n_cols):
     """Native pass planner; returns the arrays of a GatherPlan or None.
 
     (pass_tile, pass_q0, pass_first, sub, lane, val) — see
-    ops/gather_plan.py for semantics."""
+    ops/gather_plan.py for semantics.  Two-phase: the C side sorts and
+    counts, then fills numpy-allocated output buffers exactly once (no
+    intermediate copies; val is produced at the requested width)."""
     lib = get_lib()
     if lib is None:
         return None
     rows = np.ascontiguousarray(rows, np.int64)
     cols = np.ascontiguousarray(cols, np.int64)
     vals64 = np.ascontiguousarray(vals, np.float64)
-    bufp = lib.hdrv_build_gather_plan(
+    want_f32 = np.asarray(vals).dtype == np.float32
+    h = lib.hdrv_plan_begin(
         rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         vals64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        len(rows), n_rows, n_cols)
-    if not bufp:
+        len(rows))
+    if not h:
         return None
     try:
-        b = bufp.contents
-        err = bytes(b.err).split(b"\0", 1)[0]
+        NP = lib.hdrv_plan_np(h)
+        err = lib.hdrv_plan_err(h)
         if err:
             raise MemoryError(err.decode())
-        NP = b.np_
-        if NP == 0:
+        if NP <= 0:
             return None
-        pt = np.ctypeslib.as_array(b.pass_tile, (NP,)).copy()
-        q0 = np.ctypeslib.as_array(b.pass_q0, (NP,)).copy()
-        pf = np.ctypeslib.as_array(b.pass_first, (NP,)).copy()
-        sub = np.ctypeslib.as_array(b.sub, (NP, 8, 128)).copy()
-        lane = np.ctypeslib.as_array(b.lane, (NP, 8, 128)).copy()
-        val = np.ctypeslib.as_array(b.val, (NP, 8, 128)).copy()
-        return pt, q0, pf, sub, lane, val.astype(np.asarray(vals).dtype)
+        pt = np.zeros(NP, np.int32)
+        q0 = np.zeros(NP, np.int32)
+        pf = np.zeros(NP, np.int32)
+        sub = np.zeros((NP, 8, 128), np.int8)
+        lane = np.zeros((NP, 8, 128), np.int8)
+        val = np.zeros((NP, 8, 128),
+                       np.float32 if want_f32 else np.float64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.hdrv_plan_fill(
+            h, pt.ctypes.data_as(i32p), q0.ctypes.data_as(i32p),
+            pf.ctypes.data_as(i32p), sub.ctypes.data_as(i8p),
+            lane.ctypes.data_as(i8p),
+            val.ctypes.data_as(ctypes.c_void_p), int(want_f32))
+        return pt, q0, pf, sub, lane, val
     finally:
-        lib.hdrv_plan_free(bufp)
+        lib.hdrv_plan_end(h)
 
 
 def read_matrix_ascii(path: str

@@ -109,20 +109,26 @@ class EllMatrix:
         if force_dia_offsets is not None:
             good = np.asarray(sorted(force_dia_offsets), dtype=np.int64)
         elif use_dia and A.nnz:
+            # O(nnz) diagonal census via bincount over shifted offsets
+            # (np.unique's sort was a setup hot spot on coarse operators)
             offs_all = cols_all - rows_all
-            uniq, cnt = np.unique(offs_all, return_counts=True)
+            shift = offs_all + (n_rows - 1)
+            cnt = np.bincount(shift, minlength=n_rows + n_cols - 1)
             min_count = max(16, int(DIA_MIN_FRAC * n_rows))
-            good = uniq[cnt >= min_count]
+            good = np.flatnonzero(cnt >= min_count)
             if len(good) > DIA_MAX_DIAGS:
-                order = np.argsort(-cnt[np.isin(uniq, good)])
-                good = good[order[:DIA_MAX_DIAGS]]
-            good = np.sort(good)
+                good = good[np.argsort(-cnt[good], kind="stable")
+                            [:DIA_MAX_DIAGS]]
+                good.sort()
+            good = good - (n_rows - 1)
         else:
             good = np.empty(0, np.int64)
         if len(good):
             offs_all = cols_all - rows_all
             dia_offsets = tuple(int(o) for o in good)
-            sel = np.isin(offs_all, good)
+            lut = np.zeros(n_rows + n_cols - 1, dtype=bool)
+            lut[good + (n_rows - 1)] = True
+            sel = lut[offs_all + (n_rows - 1)]
             data = np.zeros((len(good), n_rows))
             pos = np.searchsorted(good, offs_all[sel])
             data[pos, rows_all[sel]] = vals_all[sel]
@@ -134,6 +140,15 @@ class EllMatrix:
         r_vals = vals_all[rest]
 
         if layout == "auto":
+            from .pallas_spmv import _backend_supports_pallas
+
+            # the gather plan only pays off on the Mosaic path; on CPU
+            # (tests, f64 parity) ELL+tail is both faster to build and
+            # faster to run — skip plan construction entirely
+            is64 = jnp.dtype(dtype).itemsize == 8
+            if is64 or not _backend_supports_pallas():
+                layout = "ell"
+        if layout == "auto":
             from .gather_plan import build_plan
             from .pallas_spmv import GatherSpMV
 
@@ -141,8 +156,8 @@ class EllMatrix:
             gop = GatherSpMV(plan, dtype=dtype) if plan.num_passes else None
             e = np.empty(0)
             return cls(
-                cols=jnp.zeros((n_rows, 0), jnp.int32),
-                vals=jnp.zeros((n_rows, 0), dtype),
+                cols=jnp.asarray(np.zeros((n_rows, 0), np.int32)),
+                vals=jnp.asarray(np.zeros((n_rows, 0)), dtype=dtype),
                 tail_rows=jnp.asarray(e, jnp.int32),
                 tail_cols=jnp.asarray(e, jnp.int32),
                 tail_vals=jnp.asarray(e, dtype),

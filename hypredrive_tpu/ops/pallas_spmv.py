@@ -109,9 +109,11 @@ class GatherSpMV:
             self.pass_tile = jnp.asarray(plan.pass_tile)
             self.pass_q0 = jnp.asarray(plan.pass_q0)
             self.pass_first = jnp.asarray(plan.pass_first)
-            # transfer int8, widen on device (tunnel bandwidth matters)
-            self.sub = jnp.asarray(plan.sub).astype(jnp.int32)
-            self.lane = jnp.asarray(plan.lane).astype(jnp.int32)
+            # transfer int8; widening to int32 happens lazily inside the
+            # caller's jit (one fused convert per compiled program instead
+            # of an eager dispatch per array at setup time)
+            self.sub = jnp.asarray(plan.sub)
+            self.lane = jnp.asarray(plan.lane)
             self.val = jnp.asarray(plan.val, dtype=dtype)
         else:
             # XLA fallback keeps COO-style data
@@ -231,8 +233,10 @@ class GatherSpMV:
         xp = jnp.zeros(self.x_sublanes * 128, x.dtype)
         xp = jax.lax.dynamic_update_slice(xp, x.astype(self.dtype), (0,))
         x_pad = xp.reshape(self.x_sublanes, 128)
+        sub = self.sub.astype(jnp.int32)
+        lane = self.lane.astype(jnp.int32)
         y = _gather_spmv_call(
             (self.n_row_tiles, self.x_sublanes, self.NP),
             self.pass_tile, self.pass_q0, self.pass_first,
-            self.sub, self.lane, self.val, self.interpret, x_pad)
+            sub, lane, self.val, self.interpret, x_pad)
         return y.reshape(-1)[:self.n_rows].astype(x.dtype)

@@ -58,33 +58,38 @@ def pmis(S: sp.csr_matrix, seed: int = 0,
     # points that influence nobody and have measure < 1: F (hypre PMIS)
     state[(influence == 0) & ~iso] = F
 
-    indptr, indices = G.indptr, G.indices
-    while True:
-        undecided = np.flatnonzero(state == UNDECIDED)
-        if len(undecided) == 0:
-            break
-        # neighbor max over undecided neighbors
-        wu = np.where(state == UNDECIDED, w, -1.0)
-        # For each undecided i: is w[i] > w[j] for all undecided neighbors?
-        sel = np.ones(n, dtype=bool)
-        rows = np.repeat(np.arange(n), np.diff(indptr))
-        mask_u = (state[rows] == UNDECIDED)
-        nb_mask = mask_u & (state[indices] == UNDECIDED)
-        r, c = rows[nb_mask], indices[nb_mask]
-        bad = w[r] <= w[c]
+    # edge lists materialized ONCE; each round filters its active subset
+    # (the sets shrink geometrically, so total work is ~2-3x nnz instead
+    # of rounds x nnz)
+    g_rows = np.repeat(np.arange(n), np.diff(G.indptr))
+    g_cols = G.indices
+    s_rows = np.repeat(np.arange(n), np.diff(S.indptr))
+    s_cols = S.indices
+    g_active = np.flatnonzero((state[g_rows] == UNDECIDED)
+                              & (state[g_cols] == UNDECIDED))
+    s_active = np.flatnonzero(state[s_rows] == UNDECIDED)
+
+    while (state == UNDECIDED).any():
+        r, c = g_rows[g_active], g_cols[g_active]
         lose = np.zeros(n, dtype=bool)
-        np.logical_or.at(lose, r[bad], True)
+        bad = w[r] <= w[c]
+        lose[r[bad]] = True
         new_c = (state == UNDECIDED) & ~lose
         if not new_c.any():
             # numerical tie stalemate cannot happen with distinct hashes,
             # but guard anyway: promote the max-w undecided point
+            undecided = np.flatnonzero(state == UNDECIDED)
             new_c = np.zeros(n, dtype=bool)
             new_c[undecided[np.argmax(w[undecided])]] = True
         state[new_c] = C
         # any undecided point strongly depending on a new C becomes F
-        dep_rows = np.repeat(np.arange(n), np.diff(S.indptr))
-        dep_mask = (state[dep_rows] == UNDECIDED) & (state[S.indices] == C)
-        state[np.unique(dep_rows[dep_mask])] = F
+        sr, sc = s_rows[s_active], s_cols[s_active]
+        dep = (state[sr] == UNDECIDED) & (state[sc] == C)
+        state[sr[dep]] = F
+        # shrink the active edge sets
+        g_active = g_active[(state[r] == UNDECIDED)
+                            & (state[c] == UNDECIDED)]
+        s_active = s_active[state[sr] == UNDECIDED]
 
     return state.astype(np.int8)
 

@@ -161,14 +161,25 @@ def _truncate(W: sp.csr_matrix, trunc_factor: float, max_nnz_row: int
         keep = absd >= trunc_factor * rowmax[rows]
 
     if max_nnz_row and max_nnz_row > 0:
-        # rank entries within each row by descending |value| (kept only)
+        # top-k by |value| within each row, batched over rows of equal
+        # length with one argpartition per group (O(nnz) total — replaces
+        # a global lexsort, the former setup hot spot)
         key_abs = np.where(keep, absd, -1.0)
-        order = np.lexsort((-key_abs, rows))  # row blocks stay contiguous
-        starts = np.repeat(W.indptr[:-1], counts)
-        rank = np.arange(W.nnz) - starts      # rank within row, sorted order
-        keep_sorted = keep[order] & (rank < max_nnz_row)
         keep = np.zeros(W.nnz, dtype=bool)
-        keep[order] = keep_sorted
+        k = max_nnz_row
+        for m in np.unique(counts):
+            if m == 0:
+                continue
+            grp = np.flatnonzero(counts == m)
+            idx = W.indptr[grp][:, None] + np.arange(m)[None, :]
+            a = key_abs[idx]
+            if m <= k:
+                keep[idx.ravel()] = (a >= 0).ravel()
+                continue
+            part = np.argpartition(-a, k - 1, axis=1)[:, :k]
+            sel = np.take_along_axis(idx, part, axis=1)
+            good = np.take_along_axis(a, part, axis=1) >= 0
+            keep[sel[good]] = True
 
     orig_sums = np.bincount(rows, weights=W.data, minlength=n)
     new_sums = np.bincount(rows[keep], weights=W.data[keep], minlength=n)

@@ -276,9 +276,14 @@ int hdrv_write_ij_vector_ascii(const char *path, int64_t ilower,
 //
 // Native counterpart of hypredrive_tpu/ops/gather_plan.py:build_plan —
 // one sort by (tile, window, row) then O(n) run-length pass assembly.
-// The Python/numpy version costs ~0.2 s per million entries (argsort +
-// three fancy-index scatters); this does one radix-friendly std::sort
-// and a single fill loop.
+// Two-phase API so the caller (numpy) allocates the output buffers and
+// the fill writes them exactly once — no intermediate copies, no
+// astype pass (the val buffer is filled at the requested width):
+//   h = hdrv_plan_begin(rows, cols, vals, n)   // sort + count passes
+//   hdrv_plan_np(h)                            // -> pass count
+//   hdrv_plan_fill(h, tile, q0, first, sub, lane, val, want_f32)
+//   hdrv_plan_end(h)
+// rows/cols/vals must stay alive until hdrv_plan_fill returns.
 // ---------------------------------------------------------------------------
 
 #include <algorithm>
@@ -287,94 +292,91 @@ int hdrv_write_ij_vector_ascii(const char *path, int64_t ilower,
 extern "C" {
 
 typedef struct {
-  int64_t np_;        // number of passes
-  int32_t *pass_tile; // [np]
-  int32_t *pass_q0;   // [np]
-  int32_t *pass_first;// [np]
-  int8_t *sub;        // [np*1024]
-  int8_t *lane;       // [np*1024]
-  double *val;        // [np*1024]
+  int64_t np_;
+  int64_t n;
+  const int64_t *cols;
+  const double *vals;
+  void *keyed;  // std::vector<std::pair<int64_t,int64_t>>*
   char err[256];
-} hdrv_plan_buf;
+} hdrv_plan_handle;
 
-void hdrv_plan_free(hdrv_plan_buf *b) {
-  if (!b) return;
-  free(b->pass_tile);
-  free(b->pass_q0);
-  free(b->pass_first);
-  free(b->sub);
-  free(b->lane);
-  free(b->val);
-  free(b);
+void hdrv_plan_end(hdrv_plan_handle *h) {
+  if (!h) return;
+  delete static_cast<std::vector<std::pair<int64_t, int64_t>> *>(h->keyed);
+  free(h);
 }
 
-hdrv_plan_buf *hdrv_build_gather_plan(const int64_t *rows,
-                                      const int64_t *cols,
-                                      const double *vals, int64_t n,
-                                      int64_t n_rows, int64_t n_cols) {
-  (void)n_rows;
-  (void)n_cols;
-  hdrv_plan_buf *b = (hdrv_plan_buf *)calloc(1, sizeof(hdrv_plan_buf));
-  if (!b) return nullptr;
-  if (n == 0) return b;
+hdrv_plan_handle *hdrv_plan_begin(const int64_t *rows, const int64_t *cols,
+                                  const double *vals, int64_t n) {
+  hdrv_plan_handle *h =
+      (hdrv_plan_handle *)calloc(1, sizeof(hdrv_plan_handle));
+  if (!h) return nullptr;
+  h->n = n;
+  h->cols = cols;
+  h->vals = vals;
+  if (n == 0) return h;
 
-  // key = tile<<40 | win<<20 | local_row ; keep entry index in low bits
-  // of a companion array via pair sort
-  std::vector<std::pair<int64_t, int64_t>> keyed((size_t)n);
+  auto *keyed = new (std::nothrow)
+      std::vector<std::pair<int64_t, int64_t>>((size_t)n);
+  if (!keyed) {
+    snprintf(h->err, sizeof h->err, "out of memory (%lld entries)",
+             (long long)n);
+    return h;
+  }
+  h->keyed = keyed;
   for (int64_t i = 0; i < n; ++i) {
-    int64_t tile = rows[i] >> 10;           // /1024
+    int64_t tile = rows[i] >> 10;  // 1024-row output tile
     int64_t lrow = rows[i] & 1023;
-    int64_t win = cols[i] >> 10;
-    keyed[(size_t)i] = {(tile << 40) | (win << 20) | lrow, i};
+    int64_t win = cols[i] >> 10;   // 1024-col x window
+    (*keyed)[(size_t)i] = {(tile << 40) | (win << 20) | lrow, i};
   }
-  std::sort(keyed.begin(), keyed.end());
+  std::sort(keyed->begin(), keyed->end());
 
-  // pass 1: count passes = sum over (tile,win) groups of max row-run
-  int64_t np_total = 0;
-  {
-    int64_t run = 0, kmax = 0;
-    int64_t prev_key = -1, prev_tw = -1;
-    for (int64_t i = 0; i < n; ++i) {
-      int64_t key = keyed[(size_t)i].first;
-      int64_t tw = key >> 20;
-      if (tw != prev_tw) {
-        np_total += kmax;
-        kmax = 0;
-        run = 0;
-        prev_tw = tw;
-        prev_key = -1;
-      }
-      if (key != prev_key) {
-        run = 0;
-        prev_key = key;
-      } else {
-        ++run;
-      }
-      if (run + 1 > kmax) kmax = run + 1;
-    }
-    np_total += kmax;
-  }
-
-  b->np_ = np_total;
-  b->pass_tile = (int32_t *)malloc((size_t)np_total * 4);
-  b->pass_q0 = (int32_t *)malloc((size_t)np_total * 4);
-  b->pass_first = (int32_t *)malloc((size_t)np_total * 4);
-  b->sub = (int8_t *)calloc((size_t)np_total * 1024, 1);
-  b->lane = (int8_t *)calloc((size_t)np_total * 1024, 1);
-  b->val = (double *)calloc((size_t)np_total * 1024, 8);
-  if (!b->pass_tile || !b->pass_q0 || !b->pass_first || !b->sub ||
-      !b->lane || !b->val) {
-    snprintf(b->err, sizeof b->err, "out of memory (%lld passes)",
-             (long long)np_total);
-    return b;
-  }
-
-  // pass 2: fill
-  int64_t pbase = 0;       // first pass of current (tile,win) group
-  int64_t kmax = 0;
-  int64_t slot = 0;
-  int64_t prev_key = -1, prev_tw = -1, prev_tile = -1;
+  // count passes = sum over (tile,win) groups of max same-row run length
+  int64_t np_total = 0, run = 0, kmax = 0;
+  int64_t prev_key = -1, prev_tw = -1;
   for (int64_t i = 0; i < n; ++i) {
+    int64_t key = (*keyed)[(size_t)i].first;
+    int64_t tw = key >> 20;
+    if (tw != prev_tw) {
+      np_total += kmax;
+      kmax = 0;
+      run = 0;
+      prev_tw = tw;
+      prev_key = -1;
+    }
+    if (key != prev_key) {
+      run = 0;
+      prev_key = key;
+    } else {
+      ++run;
+    }
+    if (run + 1 > kmax) kmax = run + 1;
+  }
+  np_total += kmax;
+  h->np_ = np_total;
+  return h;
+}
+
+int64_t hdrv_plan_np(const hdrv_plan_handle *h) { return h ? h->np_ : -1; }
+
+const char *hdrv_plan_err(const hdrv_plan_handle *h) {
+  return h ? h->err : "alloc failed";
+}
+
+// Buffers must be zero-initialized by the caller (holes stay 0).
+void hdrv_plan_fill(const hdrv_plan_handle *h, int32_t *pass_tile,
+                    int32_t *pass_q0, int32_t *pass_first, int8_t *sub,
+                    int8_t *lane, void *val, int want_f32) {
+  if (!h || !h->keyed) return;
+  const auto &keyed =
+      *static_cast<std::vector<std::pair<int64_t, int64_t>> *>(h->keyed);
+  float *val32 = want_f32 ? (float *)val : nullptr;
+  double *val64 = want_f32 ? nullptr : (double *)val;
+
+  int64_t pbase = 0, kmax = 0, slot = 0;
+  int64_t prev_key = -1, prev_tw = -1;
+  for (int64_t i = 0; i < h->n; ++i) {
     int64_t key = keyed[(size_t)i].first;
     int64_t e = keyed[(size_t)i].second;
     int64_t tw = key >> 20;
@@ -383,12 +385,6 @@ hdrv_plan_buf *hdrv_build_gather_plan(const int64_t *rows,
       kmax = 0;
       prev_tw = tw;
       prev_key = -1;
-      int64_t tile = key >> 40;
-      int64_t win = (key >> 20) & ((1 << 20) - 1);
-      // metadata for the passes this group will create is filled as
-      // slots appear (kmax grows)
-      (void)tile;
-      (void)win;
     }
     if (key != prev_key) {
       slot = 0;
@@ -401,23 +397,20 @@ hdrv_plan_buf *hdrv_build_gather_plan(const int64_t *rows,
     int64_t p = pbase + slot;
     if (slot + 1 > kmax) {
       kmax = slot + 1;
-      b->pass_tile[p] = (int32_t)tile;
-      b->pass_q0[p] = (int32_t)(win * 8);
-      b->pass_first[p] = (prev_tile != tile || p == 0) ? 1 : 0;
+      pass_tile[p] = (int32_t)tile;
+      pass_q0[p] = (int32_t)(win * 8);
     }
     int64_t lrow = key & 1023;
-    int64_t c_local = cols[e] - win * 1024;
-    b->sub[p * 1024 + lrow] = (int8_t)(c_local >> 7);
-    b->lane[p * 1024 + lrow] = (int8_t)(c_local & 127);
-    b->val[p * 1024 + lrow] = vals[e];
+    int64_t c_local = h->cols[e] - win * 1024;
+    sub[p * 1024 + lrow] = (int8_t)(c_local >> 7);
+    lane[p * 1024 + lrow] = (int8_t)(c_local & 127);
+    if (val32)
+      val32[p * 1024 + lrow] = (float)h->vals[e];
+    else
+      val64[p * 1024 + lrow] = h->vals[e];
   }
-
-  // fix pass_first: recompute from pass_tile sequence (the in-loop guess
-  // is wrong for later slots of a tile's first group)
-  for (int64_t p = 0; p < np_total; ++p)
-    b->pass_first[p] = (p == 0 || b->pass_tile[p] != b->pass_tile[p - 1]) ? 1 : 0;
-  (void)prev_tile;
-  return b;
+  for (int64_t p = 0; p < h->np_; ++p)
+    pass_first[p] = (p == 0 || pass_tile[p] != pass_tile[p - 1]) ? 1 : 0;
 }
 
 }  // extern "C"
