@@ -63,6 +63,20 @@ def main():
     # all kernels repeat on-device via lax.fori_loop and timing barriers
     # are forced readbacks (np.asarray).
 
+    # ---- device stream calibration (roofline context) ---------------------
+    # saxpy over an HBM-sized operand: the achievable-bandwidth yardstick
+    # the SpMV numbers should be read against.
+    @jax.jit
+    def stream_loop(u, v, n_reps):
+        return jax.lax.fori_loop(0, n_reps, lambda _, w: v + 2.0 * w, u)
+
+    ns = 1 << 22
+    u = jnp.ones(ns, dtype); v = jnp.ones(ns, dtype)
+    np.asarray(stream_loop(u, v, 2))
+    t0 = time.perf_counter()
+    np.asarray(stream_loop(u, v, 50))
+    stream_gbs = ns * 4 * 3 / ((time.perf_counter() - t0) / 50) / 1e9
+
     # ---- SpMV throughput -------------------------------------------------
     @jax.jit
     def spmv_loop(A, x, n_reps):
@@ -145,6 +159,10 @@ def main():
             "pcg_amg_iters_to_1e-8": iters_big,
             "pcg_amg_solve_s": round(solve_t, 4),
             "amg_setup_s": round(setup_time, 3),
+            "stream_triad_gbs": round(stream_gbs, 2),
+            # minimal-traffic model: D diagonal rows + x + y per SpMV
+            "spmv_effective_gbs": round(
+                n * (len(A.dia_offsets) + 2) * 4 / spmv_t / 1e9, 2),
             "ex1_iters": ex1_iters,
             "ex1_ref_iters": 6,
         },
