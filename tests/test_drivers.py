@@ -86,3 +86,22 @@ def test_convdif_air_beats_amg(capsys):
     air_iters = sum(
         int(s) for s in re.findall(r"Lin:\s+(\d+)", capsys.readouterr().out))
     assert air_iters <= amg_iters
+
+
+def test_convdif_reuse_skips_setup(capsys):
+    """With preconditioner.reuse enabled, later timesteps must reuse the
+    hierarchy (near-zero setup cells in the stats table) — the sequence
+    production configuration (ref: precon_reuse.h adaptive policy)."""
+    import convdif
+
+    cfg = os.path.join(REPO, "examples", "drivers",
+                       "convdif-gmres-air-reuse.yml")
+    rc = convdif.main(["-i", cfg, "-n", "16", "--steps", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    setups = re.findall(
+        r"^\|\s+\d+\.\d+\s+\|\s+[\d.]*\s+\|\s+([\d.]+)\s+\|", out,
+        re.MULTILINE)
+    assert len(setups) == 4
+    reused = [s for s in setups[1:] if float(s) < 1.0]
+    assert reused, f"no reused setups in {setups}"
