@@ -26,6 +26,12 @@ def _smooth(level: AMGLevel, x, b, sweeps: int, phase: str = "pre"):
         return x
     A = level.A
     kind = level.smoother
+    if kind == "fsai":
+        # complex smoother (ref: amg.c:441-457): x += Gᵀ G (b − A x)
+        G, GT = level.smooth_arrays
+        for _ in range(sweeps):
+            x = x + GT.matvec(G.matvec(b - A.matvec(x)))
+        return x
     if kind.startswith("air-"):
         d_inv, fmask = level.smooth_arrays
         for k in range(sweeps):

@@ -192,7 +192,29 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
     With ``mesh`` given, every level's operators become row-sharded
     :class:`~hypredrive_tpu.parallel.dist_matrix.DistEllMatrix` and the
     smoother vectors are padded+sharded accordingly — the cycle then runs
-    multi-chip with ppermute halo exchanges."""
+    multi-chip with ppermute halo exchanges.
+
+    Single-chip on an accelerator: the ~100 per-level arrays are staged
+    on the CPU backend and shipped with ONE batched device_put — through
+    a remote-TPU tunnel this collapses per-array dispatch round-trips
+    (the dominant setup cost) into a single pipelined transfer."""
+    if mesh is None and jax.default_backend() not in ("cpu",):
+        try:
+            cpu0 = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu0 = None
+        if cpu0 is not None:
+            target = jax.devices()[0]
+            with jax.default_device(cpu0):
+                state = _setup_hierarchy_impl(
+                    A_host, amg_args, dtype, dof_func, interp_vectors, None)
+            return jax.device_put(state, target)
+    return _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
+                                 interp_vectors, mesh)
+
+
+def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
+                          interp_vectors, mesh) -> AMGState:
     csn = amg_args.coarsening
     itp = amg_args.interpolation
     rlx = amg_args.relaxation
@@ -213,6 +235,13 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
     pre = int(rlx.down_sweeps) if int(rlx.down_sweeps) >= 0 else num_sweeps
     post = int(rlx.up_sweeps) if int(rlx.up_sweeps) >= 0 else num_sweeps
     weight = float(rlx.weight)
+
+    # complex smoother on the finest levels (ref: amg.c:441-457
+    # smoother.{type,num_levels}): FSAI is the TPU-native choice; the
+    # other host-sequential types (ilu/pilut/euclid) map to it
+    smoother_levels = int(amg_args.smoother.num_levels)
+    smoother_type = int(amg_args.smoother.type)
+    smoother_sweeps = max(1, int(amg_args.smoother.num_sweeps))
 
     # AIR: non-Galerkin restriction + the F/C relax schedule of
     # relaxation.points=air (ref: amg.c:870-877,986-1015 — down cycle
@@ -299,15 +328,32 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
             ))
         else:
             E = EllMatrix.from_csr(A_l, dtype=dtype)
+            lvl_kind = kind
+            sm = None
+            if lvl < smoother_levels and mesh is None \
+                    and smoother_type in (4, 5, 7, 8, 9):
+                # FSAI complex smoother on this level (sequential types
+                # map to the FSAI equivalent, the reference's own
+                # device fallback philosophy)
+                from ..fsai import build_fsai
+
+                fs = amg_args.smoother.fsai
+                G, GT = build_fsai(
+                    A_l, max_nnz_row=int(fs.max_steps) * int(fs.max_step_size),
+                    threshold=float(fs.kap_tolerance), dtype=dtype)
+                lvl_kind = "fsai"
+                sm = (G, GT)
+            if sm is None:
+                sm = _smoother_arrays(kind, A_l, E, rlx.chebyshev,
+                                      weight, fmask)
             levels.append(AMGLevel(
                 A=E,
                 P=EllMatrix.from_csr(P, dtype=dtype),
                 R=EllMatrix.from_csr(R, dtype=dtype),
-                smooth_arrays=_smoother_arrays(kind, A_l, E, rlx.chebyshev,
-                                               weight, fmask),
-                smoother=kind,
-                pre_sweeps=pre,
-                post_sweeps=post,
+                smooth_arrays=sm,
+                smoother=lvl_kind,
+                pre_sweeps=pre if lvl_kind != "fsai" else smoother_sweeps,
+                post_sweeps=post if lvl_kind != "fsai" else smoother_sweeps,
             ))
         if func_l is not None:
             func_l = func_l[cf > 0]

@@ -431,3 +431,12 @@ def test_aggressive_coarsening_cuts_complexity():
                    callback=lambda xk: cnt.__setitem__(0, cnt[0] + 1))
     assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-7
     assert cnt[0] <= 20
+
+
+def test_amg_fsai_smoother():
+    """smoother.type=fsai replaces relaxation on the finest levels
+    (ref: amg.c:441-457, ex2.yml's fine-level FSAI smoother)."""
+    res, _ = _amg_solve(10, {"smoother": {"type": "fsai", "num_levels": 1,
+                                          "num_sweeps": 1}},
+                        solver="pcg", tol=1e-8)
+    assert res.converged and res.iters <= 12
