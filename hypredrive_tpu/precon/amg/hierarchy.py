@@ -204,7 +204,10 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
         except RuntimeError:
             cpu0 = None
         if cpu0 is not None:
-            target = jax.devices()[0]
+            # honor an ambient jax.default_device(...) (the API sets it
+            # to the system's device), else the first accelerator
+            ambient = jax.config.jax_default_device
+            target = ambient if ambient is not None else jax.devices()[0]
             with jax.default_device(cpu0):
                 state = _setup_hierarchy_impl(
                     A_host, amg_args, dtype, dof_func, interp_vectors, None)
