@@ -80,20 +80,35 @@ uint32_t call0(HYPREDRV_t h, const char *method, PyObject *args = nullptr) {
   return 0;
 }
 
+// zero-copy-in marshalling: wrap the C pointer in a memoryview and let
+// numpy copy it once (np.frombuffer(mv, dtype).copy()); O(n) memcpy
+// instead of n PyObject allocations — production-size arrays stay cheap
+PyObject *np_from_buffer(const void *p, int64_t n, const char *dtype) {
+  PyObject *np_mod = PyImport_ImportModule("numpy");
+  if (!np_mod) return nullptr;
+  Py_ssize_t itemsize = dtype[0] == 'i' ? 8 : 8;  // int64 / float64
+  PyObject *mv = PyMemoryView_FromMemory(
+      (char *)p, (Py_ssize_t)n * itemsize, PyBUF_READ);
+  PyObject *arr = nullptr;
+  if (mv) {
+    PyObject *view = PyObject_CallMethod(np_mod, "frombuffer", "Os", mv,
+                                         dtype);
+    Py_DECREF(mv);
+    if (view) {
+      arr = PyObject_CallMethod(view, "copy", nullptr);
+      Py_DECREF(view);
+    }
+  }
+  Py_DECREF(np_mod);
+  return arr;
+}
+
 PyObject *np_from_i64(const int64_t *p, int64_t n) {
-  // build a Python list (simple and allocation-safe; ingest paths convert
-  // to numpy internally). Sizes here are setup-phase, not per-iteration.
-  PyObject *lst = PyList_New((Py_ssize_t)n);
-  for (int64_t i = 0; i < n; ++i)
-    PyList_SET_ITEM(lst, (Py_ssize_t)i, PyLong_FromLongLong(p[i]));
-  return lst;
+  return np_from_buffer(p, n, "int64");
 }
 
 PyObject *np_from_f64(const double *p, int64_t n) {
-  PyObject *lst = PyList_New((Py_ssize_t)n);
-  for (int64_t i = 0; i < n; ++i)
-    PyList_SET_ITEM(lst, (Py_ssize_t)i, PyFloat_FromDouble(p[i]));
-  return lst;
+  return np_from_buffer(p, n, "float64");
 }
 
 }  // namespace
@@ -199,9 +214,15 @@ uint32_t HYPREDRV_LinearSystemSetMatrixFromCSR(HYPREDRV_t h, int64_t n,
                                                const int64_t *indices,
                                                const double *data) {
   int64_t nnz = indptr[n];
-  PyObject *args = PyTuple_Pack(3, np_from_i64(indptr, n + 1),
-                                np_from_i64(indices, nnz),
-                                np_from_f64(data, nnz));
+  PyObject *a0 = np_from_i64(indptr, n + 1);
+  PyObject *a1 = np_from_i64(indices, nnz);
+  PyObject *a2 = np_from_f64(data, nnz);
+  if (!a0 || !a1 || !a2) {
+    Py_XDECREF(a0); Py_XDECREF(a1); Py_XDECREF(a2);
+    return record_py_error();
+  }
+  PyObject *args = PyTuple_Pack(3, a0, a1, a2);
+  Py_DECREF(a0); Py_DECREF(a1); Py_DECREF(a2);
   uint32_t rc = call0(h, "set_matrix_from_csr", args);
   Py_DECREF(args);
   return rc;
@@ -209,7 +230,10 @@ uint32_t HYPREDRV_LinearSystemSetMatrixFromCSR(HYPREDRV_t h, int64_t n,
 
 uint32_t HYPREDRV_LinearSystemSetRHSFromArray(HYPREDRV_t h, int64_t n,
                                               const double *v) {
-  PyObject *args = PyTuple_Pack(1, np_from_f64(v, n));
+  PyObject *a0 = np_from_f64(v, n);
+  if (!a0) return record_py_error();
+  PyObject *args = PyTuple_Pack(1, a0);
+  Py_DECREF(a0);
   uint32_t rc = call0(h, "set_rhs", args);
   Py_DECREF(args);
   return rc;
@@ -217,7 +241,10 @@ uint32_t HYPREDRV_LinearSystemSetRHSFromArray(HYPREDRV_t h, int64_t n,
 
 uint32_t HYPREDRV_LinearSystemSetInitialGuess(HYPREDRV_t h, int64_t n,
                                               const double *v) {
-  PyObject *args = PyTuple_Pack(1, np_from_f64(v, n));
+  PyObject *a0 = np_from_f64(v, n);
+  if (!a0) return record_py_error();
+  PyObject *args = PyTuple_Pack(1, a0);
+  Py_DECREF(a0);
   uint32_t rc = call0(h, "set_initial_guess", args);
   Py_DECREF(args);
   return rc;
