@@ -111,12 +111,60 @@ def hmis(S: sp.csr_matrix, seed: int = 0) -> np.ndarray:
     return pmis(S, seed=seed, measure_boost=boost)
 
 
+def ruge_stuben(S: sp.csr_matrix) -> np.ndarray:
+    """Classical Ruge-Stüben first-pass coarsening (ref vocab rs=1,
+    rs3=3; hypre's serial host algorithm).  Setup runs on host anyway
+    (the framework's latency/throughput split), so the sequential pass
+    is admissible when explicitly requested.
+
+    measure(i) = #points i strongly influences; repeatedly promote the
+    max-measure point to C, make its dependents F, and bump the measure
+    of points those dependents still depend on (classical update)."""
+    import heapq
+
+    n = S.shape[0]
+    ST = S.T.tocsr()
+    w = np.diff(ST.indptr).astype(np.int64).copy()
+    state = np.zeros(n, dtype=np.int8)  # 0 undecided, 1 C, -1 F
+
+    # isolated points (no strong connections either way): F
+    iso = (np.diff(S.indptr) == 0) & (np.diff(ST.indptr) == 0)
+    state[iso] = -1
+
+    heap = [(-w[i], i) for i in np.flatnonzero(state == 0)]
+    heapq.heapify(heap)
+    while heap:
+        neg_wi, i = heapq.heappop(heap)
+        if state[i] != 0 or -neg_wi != w[i]:
+            continue  # stale heap entry (lazy deletion)
+        state[i] = 1  # C-point
+        # dependents of i become F; their dependencies gain measure
+        for j in ST.indices[ST.indptr[i]:ST.indptr[i + 1]]:
+            if state[j] != 0:
+                continue
+            state[j] = -1
+            for k in S.indices[S.indptr[j]:S.indptr[j + 1]]:
+                if state[k] == 0:
+                    w[k] += 1
+                    heapq.heappush(heap, (-w[k], k))
+        # i's own dependencies lose one potential dependent
+        for j in S.indices[S.indptr[i]:S.indptr[i + 1]]:
+            if state[j] == 0:
+                w[j] -= 1
+                heapq.heappush(heap, (-w[j], j))
+    state[state == 0] = -1
+    return state
+
+
 def coarsen(S: sp.csr_matrix, ctype: int = 8, seed: int = 0) -> np.ndarray:
     """Dispatch on the coarsening.type code (ref vocab: cljp=0, rs=1,
-    rs3=3, falgout=6, pmis=8, hmis=10).  Non-PMIS variants are sequential
-    host algorithms in hypre; on TPU all map to the PMIS family (PMIS for
-    cljp/rs/falgout, HMIS boost for hmis), which preserves the intent
-    (grid sparsity) without the sequential dependency."""
+    rs3=3, falgout=6, pmis=8, hmis=10).  rs/rs3/falgout run the classical
+    Ruge-Stüben host pass (falgout = RS followed by PMIS on the boundary
+    in hypre; the RS pass is the dominant behavior); cljp maps to PMIS
+    (same parallel independent-set family); hmis = PMIS with the RS
+    measure boost."""
     if ctype == 10:
         return hmis(S, seed)
+    if ctype in (1, 3, 6):
+        return ruge_stuben(S)
     return pmis(S, seed)

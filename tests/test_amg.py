@@ -440,3 +440,24 @@ def test_amg_fsai_smoother():
                                           "num_sweeps": 1}},
                         solver="pcg", tol=1e-8)
     assert res.converged and res.iters <= 12
+
+
+def test_ruge_stuben_coarsening():
+    """Classical RS first pass: red-black (50%) split on the 5-pt grid,
+    every F-point strongly depends on a C-point (ref vocab rs=1)."""
+    from hypredrive_tpu.precon.amg.coarsen import ruge_stuben
+
+    A = laplacian_2d_5pt(16)
+    S = strength_graph(A, 0.25)
+    cf = ruge_stuben(S)
+    C = np.flatnonzero(cf > 0)
+    F = np.flatnonzero(cf < 0)
+    assert len(C) + len(F) == A.shape[0]
+    assert abs(len(C) / A.shape[0] - 0.5) < 0.05
+    S_FC = S[F][:, C]
+    assert (np.diff(S_FC.indptr) > 0).all()
+
+
+def test_amg_rs_coarsening_end_to_end():
+    res, _ = _amg_solve(10, {"coarsening": {"type": "rs"}})
+    assert res.converged and res.iters <= 10
