@@ -254,6 +254,28 @@ class Stats:
             )
         return "\n".join(lines) + "\n"
 
+    # programmatic level getters (ref: HYPREDRV_StatsLevelGet*/Print,
+    # include/HYPREDRV.h:2223-2262)
+    def level_records(self, name: Optional[str] = None):
+        """All closed level frames, optionally filtered by name."""
+        if name is None:
+            return list(self._level_records)
+        return [r for r in self._level_records if r["name"] == name]
+
+    def level_time(self, name: str, index: Optional[int] = None) -> float:
+        """Total wall time of level annotations with this name
+        (one specific index, or summed over all)."""
+        return sum(r["time"] for r in self._level_records
+                   if r["name"] == name
+                   and (index is None or r["index"] == index))
+
+    def level_entry_range(self, name: str, index: int):
+        """(first, last) stats-entry indices covered by a level frame."""
+        for r in self._level_records:
+            if r["name"] == name and r["index"] == index:
+                return tuple(r["entries"])
+        return None
+
     def print(self, file=None, filename: Optional[str] = None):
         text = self.summary_table()
         lvl = self.level_table()

@@ -103,3 +103,25 @@ def test_stats_filename_append(tmp_path):
     s.print(filename=str(path))
     content = path.read_text()
     assert content.count("STATISTICS SUMMARY") == 2
+
+
+def test_level_getters():
+    """Programmatic level getters (ref: HYPREDRV_StatsLevelGet*,
+    include/HYPREDRV.h:2223-2262)."""
+    from hypredrive_tpu.core.stats import Stats
+    import time as _t
+
+    s = Stats()
+    for step in (1, 2):
+        s.annotate_level_begin("timestep", step)
+        s.annotate_begin("matrix"); s.annotate_end("matrix")
+        s.annotate_begin("solve"); _t.sleep(0.01); s.annotate_end("solve")
+        s.record_solve(iters=3 + step, initial_res_norm=1.0, rel_res_norm=1e-9, converged=True)
+        s.annotate_level_end("timestep", step)
+
+    recs = s.level_records("timestep")
+    assert [r["index"] for r in recs] == [1, 2]
+    assert s.level_time("timestep") >= 0.02
+    assert s.level_time("timestep", 1) > 0
+    assert s.level_entry_range("timestep", 2) == (1, 2)
+    assert s.level_records("nope") == []
