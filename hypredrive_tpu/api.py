@@ -288,6 +288,18 @@ class HypreDrive:
     def annotate_level_end(self, name: str, index: int):
         self.stats.annotate_level_end(name, index)
 
+    # level getters (ref: HYPREDRV_StatsLevel*, include/HYPREDRV.h:2223)
+    def get_level_time(self, name: str, index=None) -> float:
+        return self.stats.level_time(name, index)
+
+    def get_level_records(self, name=None):
+        return self.stats.level_records(name)
+
+    def stats_level_print(self):
+        text = self.stats.level_table()
+        if text:
+            print(text, end="")
+
     def stats_print(self, filename: Optional[str] = None):
         if self.args is not None and self.args.general.statistics_filename:
             filename = filename or self.args.general.statistics_filename
