@@ -85,7 +85,8 @@ def build_plan(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     except Exception:
         nat = None
     if nat is not None:
-        pt, q0, pf, sub, lane, val = nat
+        pt, q0, pf, sub, lane, val = _ensure_all_tiles(
+            *nat, n_row_tiles=n_row_tiles)
         return GatherPlan(pt, q0, pf, sub, lane, val,
                           n_rows, n_cols, n_row_tiles, x_sublanes)
 
@@ -142,6 +143,8 @@ def build_plan(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     first = np.ones(NP, np.int32)
     first[1:] = (p_tile[1:] != p_tile[:-1]).astype(np.int32)
 
+    p_tile, pass_q0, first, sub, lane, val = _ensure_all_tiles(
+        p_tile, pass_q0, first, sub, lane, val, n_row_tiles)
     return GatherPlan(p_tile, pass_q0, first, sub, lane, val,
                       n_rows, n_cols, n_row_tiles, x_sublanes)
 
@@ -151,3 +154,55 @@ def plan_stats(plan: GatherPlan) -> Tuple[int, float]:
     nnz = int((plan.val != 0).sum())
     tot = plan.num_passes * TILE_ROWS
     return plan.num_passes, (nnz / tot if tot else 1.0)
+
+
+def pad_plan(plan: GatherPlan, np_pad: int) -> GatherPlan:
+    """Pad a plan to exactly ``np_pad`` passes with no-op passes that
+    REPEAT THE LAST TILE (first=0, val=0 → y_ref[last tile] += 0).
+
+    Repeating the last tile keeps the pass→output-tile sequence
+    contiguous — revisiting an earlier tile after leaving it breaks the
+    kernel's accumulate-in-place contract.
+
+    Shape-stability device: sequences whose per-system plans vary
+    slightly in pass count land on the same padded shape, so one
+    compiled SpMV serves the whole sequence (pairs with lsseq pattern
+    dedup and bucketed hierarchy sizes)."""
+    NP = plan.num_passes
+    if np_pad <= NP or NP == 0:
+        return plan
+
+    def padded(a, fill):
+        out = np.full((np_pad,) + a.shape[1:], fill, dtype=a.dtype)
+        out[:NP] = a
+        return out
+
+    last_tile = int(plan.pass_tile[NP - 1])
+    return GatherPlan(
+        padded(plan.pass_tile, last_tile), padded(plan.pass_q0, 0),
+        padded(plan.pass_first, 0),
+        padded(plan.sub, 0), padded(plan.lane, 0), padded(plan.val, 0),
+        plan.n_rows, plan.n_cols, plan.n_row_tiles, plan.x_sublanes)
+
+
+def _ensure_all_tiles(pt, q0, pf, sub, lane, val, n_row_tiles):
+    """Inject an explicit zeroing pass for every output tile that has no
+    entries — the kernel only zero-initializes a tile on its 'first'
+    pass, so a tile with no passes would return uninitialized memory."""
+    present = np.unique(pt)
+    missing = np.setdiff1d(np.arange(n_row_tiles, dtype=pt.dtype), present)
+    if len(missing) == 0:
+        return pt, q0, pf, sub, lane, val
+    pt2 = np.concatenate([pt, missing])
+    order = np.argsort(pt2, kind="stable")
+    z1 = np.zeros(len(missing), q0.dtype)
+    zt = np.zeros((len(missing), 8, 128), sub.dtype)
+    zv = np.zeros((len(missing), 8, 128), val.dtype)
+    pt2 = pt2[order]
+    q02 = np.concatenate([q0, z1])[order]
+    sub2 = np.concatenate([sub, zt])[order]
+    lane2 = np.concatenate([lane, zt])[order]
+    val2 = np.concatenate([val, zv])[order]
+    pf2 = np.ones(len(pt2), pf.dtype)
+    pf2[1:] = (pt2[1:] != pt2[:-1]).astype(pf.dtype)
+    return pt2, q02, pf2, sub2, lane2, val2

@@ -93,3 +93,49 @@ def test_ellmatrix_auto_layout_round_trip():
     assert np.allclose(np.asarray(E.diagonal()), A.diagonal(), atol=1e-12)
     back = E.to_csr()
     assert np.allclose(back.toarray(), A.toarray(), atol=1e-12)
+
+
+def test_empty_output_tiles_are_zeroed():
+    """Every output tile gets an explicit zeroing pass — a tile with no
+    gather entries must return zeros, not uninitialized memory
+    (regression: latent garbage in tiles skipped by the planner)."""
+    import jax.numpy as jnp
+    from hypredrive_tpu.ops.gather_plan import build_plan
+    from hypredrive_tpu.ops.pallas_spmv import GatherSpMV
+
+    n = 3072  # 3 output tiles; entries only in tiles 0 and 2
+    rows = np.array([5, 17, 2500])
+    cols = np.array([100, 900, 40])
+    vals = np.array([1.0, 2.0, 3.0])
+    plan = build_plan(rows, cols, vals, n, n)
+    assert set(plan.pass_tile) == {0, 1, 2}
+    g = GatherSpMV(plan, dtype=jnp.float64, interpret=True)
+    y = np.asarray(g(jnp.ones(n)))
+    expect = np.zeros(n)
+    expect[[5, 17, 2500]] = [1.0, 2.0, 3.0]
+    np.testing.assert_array_equal(y, expect)
+
+
+def test_pad_plan_noop_passes():
+    """pad_plan appends no-op passes repeating the last tile; results
+    are bit-identical (shape-stability device for sequences)."""
+    import jax.numpy as jnp
+    from hypredrive_tpu.ops.gather_plan import build_plan, pad_plan
+    from hypredrive_tpu.ops.pallas_spmv import GatherSpMV
+
+    rng = np.random.default_rng(5)
+    n = 4096
+    nnz = 600
+    rows = rng.integers(0, n, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.standard_normal(nnz)
+    plan = build_plan(rows, cols, vals, n, n)
+    plan_p = pad_plan(plan, plan.num_passes + 13)
+    assert plan_p.num_passes == plan.num_passes + 13
+    assert (plan_p.pass_first[plan.num_passes:] == 0).all()
+    assert (plan_p.pass_tile[plan.num_passes:]
+            == plan.pass_tile[-1]).all()
+    x = jnp.asarray(rng.standard_normal(n))
+    y1 = np.asarray(GatherSpMV(plan, dtype=jnp.float64, interpret=True)(x))
+    y2 = np.asarray(GatherSpMV(plan_p, dtype=jnp.float64, interpret=True)(x))
+    np.testing.assert_array_equal(y1, y2)
