@@ -59,6 +59,9 @@ class HypreDrive:
 
     def _after_args(self):
         g = self.args.general
+        if self.library_mode:
+            # config echo is a driver-mode feature (ref: args.c:113)
+            g.print_config_params = False
         self.stats = Stats(use_millisec=g.use_millisec, name=g.name or self.name)
         if self.args.precon_variants and self.args.preconditioner.reuse.enabled:
             from .precon.reuse import PreconReuseState

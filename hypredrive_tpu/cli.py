@@ -91,9 +91,10 @@ def run_one_config(path: str, overrides=None, preset=None, dry_run=False,
         collect.append(drv)
     try:
         args = drv.input_args_parse(path, overrides, preset)
-        if args.general.print_config_params or True:
-            # The reference always echoes the effective config between bars
-            # (see examples/refOutput/ex1.txt).
+        if args.general.print_config_params:
+            # The reference echoes the effective config between bars when
+            # print_config_params is on — the driver default (ref:
+            # args.c:87 default 1; :113 off in library mode; :1568 echo).
             from .config.yamlparse import echo_tree
 
             bar = "-" * 84

@@ -28,7 +28,10 @@ GENERAL_SCHEMA = Schema("general", {
     "warmup": F("bool", False, help="run one untimed warmup solve"),
     "statistics": F("enum", 1, V.STATISTICS_MODE, help="stats off/on/2"),
     "num_repetitions": F("int", 1, help="repeat each solve N times"),
-    "print_config_params": F("bool", False, help="echo effective config"),
+    "print_config_params": F("bool", True,
+                             help="echo effective config (driver default on,"
+                                  " forced off in library mode; ref:"
+                                  " args.c:87,113)"),
     "use_millisec": F("bool", False, help="report times in ms instead of s"),
     "device_lazy_init": F("bool", False),
     "exec_policy": F("enum", 1, V.EXEC_POLICY,
@@ -246,6 +249,14 @@ AMG_SCHEMA = Schema("amg", {
     "print_level": F("int", 0),
     "tolerance": F("float", 0.0),
     "interp_vec_variant": F("int", 2, help="RBM interpolation variant"),
+    "interp_vec_qmax": F("int", 0,
+                         help="GM2 pattern growth: max added P entries per "
+                              "row (hypre InterpVecQMax; 0 = existing "
+                              "pattern only)"),
+    "cycle_type": F("int", 1,
+                    help="multigrid cycle: 1=V, 2=W (hypre "
+                         "BoomerAMGSetCycleType convention; TPU extension "
+                         "key — the reference fixes V)"),
     "interpolation": Schema("interpolation", {
         "prolongation_type": F("enum", 6, V.AMG_PROLONGATION),
         "restriction_type": F("enum", 0, V.AMG_RESTRICTION),

@@ -103,7 +103,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.hdrv_plan_begin.restype = ctypes.c_void_p
         lib.hdrv_plan_begin.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64]
         lib.hdrv_plan_np.restype = ctypes.c_int64
         lib.hdrv_plan_np.argtypes = [ctypes.c_void_p]
         lib.hdrv_plan_err.restype = ctypes.c_char_p
@@ -113,20 +113,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int8),
-            ctypes.POINTER(ctypes.c_int8), ctypes.c_void_p, ctypes.c_int]
+            ctypes.c_void_p, ctypes.c_int]
         lib.hdrv_plan_end.restype = None
         lib.hdrv_plan_end.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
 
-def build_gather_plan(rows, cols, vals, n_rows, n_cols):
+def build_gather_plan(rows, cols, vals, n_rows, n_cols, n_row_tiles):
     """Native pass planner; returns the arrays of a GatherPlan or None.
 
-    (pass_tile, pass_q0, pass_first, sub, lane, val) — see
-    ops/gather_plan.py for semantics.  Two-phase: the C side sorts and
-    counts, then fills numpy-allocated output buffers exactly once (no
-    intermediate copies; val is produced at the requested width)."""
+    (pass_tile, pass_first, q0, lane, val) — see ops/gather_plan.py for
+    semantics.  Two-phase: the C side sorts and counts, then fills
+    numpy-allocated output buffers exactly once (no intermediate copies;
+    val is produced at the requested width)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -138,31 +138,29 @@ def build_gather_plan(rows, cols, vals, n_rows, n_cols):
         rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         vals64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        len(rows))
+        len(rows), int(n_row_tiles))
     if not h:
         return None
     try:
         NP = lib.hdrv_plan_np(h)
         err = lib.hdrv_plan_err(h)
         if err:
-            raise MemoryError(err.decode())
+            return None        # fall back to the numpy planner
         if NP <= 0:
             return None
         pt = np.zeros(NP, np.int32)
-        q0 = np.zeros(NP, np.int32)
         pf = np.zeros(NP, np.int32)
-        sub = np.zeros((NP, 8, 128), np.int8)
+        q0 = np.zeros((NP, 8), np.int32)
         lane = np.zeros((NP, 8, 128), np.int8)
         val = np.zeros((NP, 8, 128),
                        np.float32 if want_f32 else np.float64)
         i32p = ctypes.POINTER(ctypes.c_int32)
         i8p = ctypes.POINTER(ctypes.c_int8)
         lib.hdrv_plan_fill(
-            h, pt.ctypes.data_as(i32p), q0.ctypes.data_as(i32p),
-            pf.ctypes.data_as(i32p), sub.ctypes.data_as(i8p),
-            lane.ctypes.data_as(i8p),
+            h, pt.ctypes.data_as(i32p), pf.ctypes.data_as(i32p),
+            q0.ctypes.data_as(i32p), lane.ctypes.data_as(i8p),
             val.ctypes.data_as(ctypes.c_void_p), int(want_f32))
-        return pt, q0, pf, sub, lane, val
+        return pt, pf, q0, lane, val
     finally:
         lib.hdrv_plan_end(h)
 

@@ -1,22 +1,27 @@
-"""Host-side planner for the Pallas windowed gather-SpMV kernel.
+"""Host-side planner for the Pallas gather-SpMV kernel.
 
 TPU context (see /opt/skills/guides/pallas_guide.md): XLA's generic
 gather runs on the scalar core at ~0.14 G idx/s — 200x slower than VPU
 streaming — which makes unstructured SpMV (AMG coarse operators,
 interpolation) the bottleneck of the whole V-cycle.  Mosaic does expose
-a fast *lane* gather (``take_along_axis(op, idx, axis=1)`` on (T, 128)
+a fast *lane* gather (``take_along_axis(op, idx, axis=1)`` on (8, 128)
 tiles).  This planner restructures an arbitrary COO matrix so the kernel
-(ops/pallas_spmv.py) only ever needs that primitive:
+(ops/pallas_spmv.py) needs exactly ONE of those per pass:
 
 * output rows are tiled 1024 at a time, mapped to an (8, 128) tile as
-  row i -> (sublane (i%1024)//128, lane i%128);
-* each entry's column is assigned to a 1024-wide aligned *window* of x,
-  so its local index splits into (sub = local//128, lane = local%128)
-  with sub < 8;
-* entries are grouped into *passes*: one pass = one output tile, one
-  window base, and at most one entry per output row.  The kernel runs
-  one grid step per pass: slice 8 sublanes of x, then for j in 0..7
-  broadcast window row j, lane-gather it, and select where sub == j.
+  row r -> (sublane (r % 1024)//128, lane r % 128);
+* each entry's column c lives in x-sublane s = c//128 at lane c%128
+  (x is stored (S, 128) in VMEM);
+* a *pass* gives every OUTPUT sublane i its own x-sublane choice
+  q0[p, i]: the kernel assembles an (8, 128) window whose row i is
+  x[q0[p, i], :], lane-gathers it against the per-entry lane indices,
+  multiplies by the value tile and accumulates.  One gather, one FMA —
+  no broadcast/select loop.
+* entries of output block (tile, i) are grouped by (x-sublane s,
+  occurrence k within the (row, s) pair); each such *subgroup* holds at
+  most one entry per output row, so it occupies one pass slot.  Pass
+  count per tile = max over its 8 blocks of the block's subgroup count
+  (no bin packing, no cross-row conflicts by construction).
 
 The plan is fully static per sparsity pattern (pairs with lsseq pattern
 dedup: one compile per pattern).  Reference counterpart: the CSR SpMV
@@ -32,20 +37,19 @@ from typing import Tuple
 import numpy as np
 
 TILE_ROWS = 1024          # output rows per tile: 8 sublanes x 128 lanes
-WIN = 1024                # gather window: 8 sublanes x 128 lanes of x
+GROUP_MAX = 8             # max passes fused into one kernel grid step
 
 
 @dataclass
 class GatherPlan:
     """Static pass schedule for one sparsity pattern."""
 
-    # scalar-prefetch arrays, one element per pass (grid step)
+    # scalar-prefetch arrays (SMEM)
     pass_tile: np.ndarray   # (NP,) int32 — output tile index
-    pass_q0: np.ndarray     # (NP,) int32 — window start sublane of x
     pass_first: np.ndarray  # (NP,) int32 — 1 if first pass of its tile
+    q0: np.ndarray          # (NP, 8) int32 — x-sublane per output sublane
     # per-pass dense tiles
-    sub: np.ndarray         # (NP, 8, 128) int8 — local sublane in window
-    lane: np.ndarray        # (NP, 8, 128) int8 — local lane in window
+    lane: np.ndarray        # (NP, 8, 128) int8 — lane within x-sublane
                             # (int8 staging halves host->device transfer;
                             # widened to int32 on device)
     val: np.ndarray         # (NP, 8, 128) float — coefficient (0 = hole)
@@ -53,6 +57,8 @@ class GatherPlan:
     n_cols: int
     n_row_tiles: int
     x_sublanes: int         # padded sublane count of the x operand
+    group: int = 1          # passes per kernel grid step; every tile's
+                            # pass count is a multiple of this
 
     @property
     def num_passes(self) -> int:
@@ -66,87 +72,142 @@ def build_plan(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     cols = np.asarray(cols, np.int64)
     vals = np.asarray(vals)
     n_row_tiles = max(1, -(-n_rows // TILE_ROWS))
-    # x operand sublane count: window slices [q0, q0+8) must stay in
-    # bounds, so pad to a multiple of 8 beyond the last real sublane
-    x_sub_data = -(-n_cols // 128)
-    x_sublanes = ((x_sub_data + 7) // 8 + 1) * 8
+    # x operand padded to whole (8, 128) VMEM tiles
+    x_sublanes = max(8, ((-(-n_cols // 128) + 7) // 8) * 8)
 
     if len(rows) == 0:
         z = np.zeros((0, 8, 128))
         return GatherPlan(np.zeros(0, np.int32), np.zeros(0, np.int32),
-                          np.zeros(0, np.int32), z.astype(np.int8),
-                          z.astype(np.int8), z.astype(vals.dtype),
+                          np.zeros((0, 8), np.int32), z.astype(np.int8),
+                          z.astype(vals.dtype),
                           n_rows, n_cols, n_row_tiles, x_sublanes)
 
     try:
         from ..io.native import build_gather_plan as _native_plan
 
-        nat = _native_plan(rows, cols, vals, n_rows, n_cols)
+        nat = _native_plan(rows, cols, vals, n_rows, n_cols, n_row_tiles)
     except Exception:
         nat = None
     if nat is not None:
-        pt, q0, pf, sub, lane, val = _ensure_all_tiles(
-            *nat, n_row_tiles=n_row_tiles)
-        return GatherPlan(pt, q0, pf, sub, lane, val,
-                          n_rows, n_cols, n_row_tiles, x_sublanes)
+        arrs, G = _group_plan(*nat, n_row_tiles=n_row_tiles)
+        return GatherPlan(*arrs, n_rows, n_cols, n_row_tiles,
+                          x_sublanes, G)
 
-    tile = rows // TILE_ROWS
-    win = cols // WIN                      # aligned window id
-    # ONE sort by (tile, window, row); everything else is O(n)
-    # run-length arithmetic (this is the setup hot path — ~half of the
-    # AMG setup time goes through here)
-    key = (tile * (1 << 40) + win * (1 << 20) + (rows % TILE_ROWS))
-    order = np.argsort(key, kind="stable")
-    key = key[order]
-    tile, win = tile[order], win[order]
-    r_s, c_s, v_s = rows[order], cols[order], vals[order]
-    N = len(key)
+    blk = rows // 128                       # global 128-row output block
+    s = cols // 128                         # x-sublane of the column
 
-    # slot = position within equal (tile, win, row) runs
-    new_run = np.empty(N, bool)
-    new_run[0] = True
-    np.not_equal(key[1:], key[:-1], out=new_run[1:])
+    # occurrence index k within each (row, s) pair: ONE sort by
+    # (row, col); k = position inside the equal-(row, s) run
+    o1 = np.lexsort((cols, rows))
+    r1, s1 = rows[o1], s[o1]
+    c1, v1 = cols[o1], vals[o1]
+    blk1 = blk[o1]
+    N = len(r1)
+    rs_key = r1 * np.int64(x_sublanes) + s1
+    new_rs = np.empty(N, bool)
+    new_rs[0] = True
+    np.not_equal(rs_key[1:], rs_key[:-1], out=new_rs[1:])
     idx = np.arange(N)
-    run_start = np.maximum.accumulate(np.where(new_run, idx, 0))
-    slot = idx - run_start
+    k1 = idx - np.maximum.accumulate(np.where(new_rs, idx, 0))
 
-    # (tile, win) groups; per-group pass count = max slot + 1
-    twkey = key >> 20
-    new_tw = np.empty(N, bool)
-    new_tw[0] = True
-    np.not_equal(twkey[1:], twkey[:-1], out=new_tw[1:])
-    tw_starts = np.flatnonzero(new_tw)
-    kmax = np.maximum.reduceat(slot, tw_starts) + 1
-    base = np.zeros(len(tw_starts) + 1, np.int64)
-    np.cumsum(kmax, out=base[1:])
+    # subgroup = (block, s, k); sort entries by subgroup (k < 256 when
+    # duplicates were summed — guard the rare unsummed-COO case)
+    if int(k1.max()) < 256 and x_sublanes <= (1 << 24):
+        sg_key = (blk1 << np.int64(32)) | (s1 << np.int64(8)) | k1
+        o2 = np.argsort(sg_key, kind="stable")
+        sg2 = sg_key[o2]
+    else:
+        o2 = np.lexsort((k1, s1, blk1))
+        sg2 = None
+    blk2, s2 = blk1[o2], s1[o2]
+    c2, v2, r2 = c1[o2], v1[o2], r1[o2]
+
+    new_sg = np.empty(N, bool)
+    new_sg[0] = True
+    if sg2 is not None:
+        np.not_equal(sg2[1:], sg2[:-1], out=new_sg[1:])
+    else:
+        k2 = k1[o2]
+        new_sg[1:] = ((blk2[1:] != blk2[:-1]) | (s2[1:] != s2[:-1])
+                      | (k2[1:] != k2[:-1]))
+    sg_of_entry = np.cumsum(new_sg) - 1
+    sg_starts = np.flatnonzero(new_sg)
+    sg_blk = blk2[sg_starts]                # block of each subgroup
+    sg_s = s2[sg_starts].astype(np.int32)   # x-sublane of each subgroup
+
+    # rank j of the subgroup within its block
+    n_sg = len(sg_starts)
+    sg_idx = np.arange(n_sg)
+    new_blk = np.empty(n_sg, bool)
+    new_blk[0] = True
+    np.not_equal(sg_blk[1:], sg_blk[:-1], out=new_blk[1:])
+    j = sg_idx - np.maximum.accumulate(np.where(new_blk, sg_idx, 0))
+
+    # passes per tile = max (j+1) over the tile's blocks (>= 1 so every
+    # tile gets a zero-init pass even with no entries)
+    sg_tile = (sg_blk // 8).astype(np.int64)
+    npass_tile = np.ones(n_row_tiles, np.int64)
+    np.maximum.at(npass_tile, sg_tile, j + 1)
+    base = np.zeros(n_row_tiles + 1, np.int64)
+    np.cumsum(npass_tile, out=base[1:])
     NP = int(base[-1])
-    tw_of_entry = np.cumsum(new_tw) - 1
-    pass_of_entry = base[tw_of_entry] + slot
 
-    p_tile = tile[tw_starts].repeat(kmax).astype(np.int32)
-    p_win_grp = win[tw_starts]
-    p_win = p_win_grp.repeat(kmax).astype(np.int64)
+    pass_of_sg = base[sg_tile] + j
+    pass_of_entry = pass_of_sg[sg_of_entry]
 
-    sub = np.zeros((NP, 8, 128), np.int8)
+    q0 = np.zeros((NP, 8), np.int32)
+    q0[pass_of_sg, sg_blk % 8] = sg_s
     lane = np.zeros((NP, 8, 128), np.int8)
     val = np.zeros((NP, 8, 128), vals.dtype)
+    i8 = (r2 // 128) % 8
+    l_idx = r2 % 128
+    lane[pass_of_entry, i8, l_idx] = c2 % 128
+    val[pass_of_entry, i8, l_idx] = v2
 
-    local_row = (r_s % TILE_ROWS)
-    s_idx = local_row // 128
-    l_idx = local_row % 128
-    c_local = c_s - p_win[pass_of_entry] * WIN
-    sub[pass_of_entry, s_idx, l_idx] = c_local // 128
-    lane[pass_of_entry, s_idx, l_idx] = c_local % 128
-    val[pass_of_entry, s_idx, l_idx] = v_s
+    pass_tile = np.repeat(np.arange(n_row_tiles, dtype=np.int32),
+                          npass_tile)
+    pass_first = np.zeros(NP, np.int32)
+    pass_first[base[:-1]] = 1
+    arrs, G = _group_plan(pass_tile, pass_first, q0, lane, val,
+                          n_row_tiles=n_row_tiles)
+    return GatherPlan(*arrs, n_rows, n_cols, n_row_tiles, x_sublanes, G)
 
-    pass_q0 = (p_win * (WIN // 128)).astype(np.int32)
-    first = np.ones(NP, np.int32)
-    first[1:] = (p_tile[1:] != p_tile[:-1]).astype(np.int32)
 
-    p_tile, pass_q0, first, sub, lane, val = _ensure_all_tiles(
-        p_tile, pass_q0, first, sub, lane, val, n_row_tiles)
-    return GatherPlan(p_tile, pass_q0, first, sub, lane, val,
-                      n_rows, n_cols, n_row_tiles, x_sublanes)
+def _group_plan(pt, pf, q0, lane, val, n_row_tiles):
+    """Pick the kernel group size G (passes fused per grid step) and pad
+    every tile's pass count to a multiple of it.
+
+    Fusing G passes into one grid step amortizes the per-step gather cost
+    ~G-fold (measured: 136 → 59 ns/pass at G=8 on v5e); padding wastes at
+    most (G−1)/avg_passes_per_tile, so G is capped at avg/4."""
+    NP = len(pt)
+    avg = NP / max(1, n_row_tiles)
+    G = GROUP_MAX
+    while G > 1 and G * 4 > avg:
+        G //= 2
+    if G <= 1:
+        return (pt, pf, q0, lane, val), 1
+    tiles, counts = np.unique(pt, return_counts=True)
+    newc = -(-counts // G) * G
+    NP2 = int(newc.sum())
+    if NP2 == NP:
+        return (pt, pf, q0, lane, val), G
+    off_new = np.zeros(len(tiles) + 1, np.int64)
+    np.cumsum(newc, out=off_new[1:])
+    off_old = np.zeros(len(tiles) + 1, np.int64)
+    np.cumsum(counts, out=off_old[1:])
+    tidx = np.repeat(np.arange(len(tiles)), counts)
+    pos_new = off_new[tidx] + (np.arange(NP) - off_old[tidx])
+    pt2 = np.repeat(tiles, newc).astype(pt.dtype)
+    pf2 = np.zeros(NP2, pf.dtype)
+    pf2[off_new[:-1]] = 1
+    q02 = np.zeros((NP2, 8), q0.dtype)
+    q02[pos_new] = q0
+    lane2 = np.zeros((NP2, 8, 128), lane.dtype)
+    lane2[pos_new] = lane
+    val2 = np.zeros((NP2, 8, 128), val.dtype)
+    val2[pos_new] = val
+    return (pt2, pf2, q02, lane2, val2), G
 
 
 def plan_stats(plan: GatherPlan) -> Tuple[int, float]:
@@ -171,6 +232,8 @@ def pad_plan(plan: GatherPlan, np_pad: int) -> GatherPlan:
     NP = plan.num_passes
     if np_pad <= NP or NP == 0:
         return plan
+    # keep every tile's pass count a multiple of the kernel group size
+    np_pad = -(-np_pad // plan.group) * plan.group
 
     def padded(a, fill):
         out = np.full((np_pad,) + a.shape[1:], fill, dtype=a.dtype)
@@ -179,30 +242,7 @@ def pad_plan(plan: GatherPlan, np_pad: int) -> GatherPlan:
 
     last_tile = int(plan.pass_tile[NP - 1])
     return GatherPlan(
-        padded(plan.pass_tile, last_tile), padded(plan.pass_q0, 0),
-        padded(plan.pass_first, 0),
-        padded(plan.sub, 0), padded(plan.lane, 0), padded(plan.val, 0),
-        plan.n_rows, plan.n_cols, plan.n_row_tiles, plan.x_sublanes)
-
-
-def _ensure_all_tiles(pt, q0, pf, sub, lane, val, n_row_tiles):
-    """Inject an explicit zeroing pass for every output tile that has no
-    entries — the kernel only zero-initializes a tile on its 'first'
-    pass, so a tile with no passes would return uninitialized memory."""
-    present = np.unique(pt)
-    missing = np.setdiff1d(np.arange(n_row_tiles, dtype=pt.dtype), present)
-    if len(missing) == 0:
-        return pt, q0, pf, sub, lane, val
-    pt2 = np.concatenate([pt, missing])
-    order = np.argsort(pt2, kind="stable")
-    z1 = np.zeros(len(missing), q0.dtype)
-    zt = np.zeros((len(missing), 8, 128), sub.dtype)
-    zv = np.zeros((len(missing), 8, 128), val.dtype)
-    pt2 = pt2[order]
-    q02 = np.concatenate([q0, z1])[order]
-    sub2 = np.concatenate([sub, zt])[order]
-    lane2 = np.concatenate([lane, zt])[order]
-    val2 = np.concatenate([val, zv])[order]
-    pf2 = np.ones(len(pt2), pf.dtype)
-    pf2[1:] = (pt2[1:] != pt2[:-1]).astype(pf.dtype)
-    return pt2, q02, pf2, sub2, lane2, val2
+        padded(plan.pass_tile, last_tile), padded(plan.pass_first, 0),
+        padded(plan.q0, 0), padded(plan.lane, 0), padded(plan.val, 0),
+        plan.n_rows, plan.n_cols, plan.n_row_tiles, plan.x_sublanes,
+        plan.group)

@@ -1,16 +1,16 @@
-"""Pallas windowed gather-SpMV (see ops/gather_plan.py for the plan).
+"""Pallas gather-SpMV (see ops/gather_plan.py for the plan).
 
 One grid step per pass.  The x operand lives fully in VMEM as
-(x_sublanes, 128); each pass slices an 8-sublane window with a
-scalar-prefetched start, then runs 8 broadcast + lane-gather + select
-steps — the only gather primitive Mosaic supports everywhere is
-``take_along_axis(op, idx, axis=1)`` on (T, 128) tiles, so the kernel is
-built exclusively from it.
+(x_sublanes, 128); each pass assembles an (8, 128) window whose row i is
+the x-sublane q0[pass, i] (8 scalar-indexed sublane reads), then runs a
+single ``take_along_axis(win, lane, axis=1)`` — the one gather primitive
+Mosaic supports everywhere — and one fused multiply-accumulate into the
+output tile.  ~10 VPU ops per 1024 potential entries.
 
 Speed: ~2 orders of magnitude over XLA's scalar-core gather for AMG
-coarse-operator SpMVs (measured on the driver TPU: 0.09 -> ~5+ Gnnz/s).
-Falls back to the XLA gather formulation on backends without Mosaic
-(tests run it in interpret mode on CPU for bit-parity).
+coarse-operator SpMVs.  Falls back to the XLA segment-sum formulation on
+backends without Mosaic (tests run the kernel in interpret mode on CPU
+for bit-parity).
 """
 
 from __future__ import annotations
@@ -31,61 +31,96 @@ def _backend_supports_pallas() -> bool:
         return False
 
 
-def _kernel(tile_ref, q0_ref, first_ref, sub_ref, lane_ref, val_ref,
-            x_ref, y_ref):
-    from jax.experimental import pallas as pl
-
-    i = pl.program_id(0)
-    q0 = q0_ref[i]
-
-    @pl.when(first_ref[i] == 1)
-    def _():
-        y_ref[...] = jnp.zeros_like(y_ref)
-
-    win = x_ref[pl.ds(q0, 8), :]          # (8, 128) window of x
-    sub = sub_ref[0]
-    lane = lane_ref[0]
-    val = val_ref[0]
-    acc = jnp.zeros((8, 128), val.dtype)
-    for j in range(8):
-        row = jnp.broadcast_to(win[j, :], (8, 128))
-        g = jnp.take_along_axis(row, lane, axis=1)
-        acc = acc + jnp.where(sub == j, g * val, 0.0)
-    y_ref[...] = y_ref[...] + acc
+# SMEM budget: scalar-prefetch operands cost 40 B/pass (tile+first+q0);
+# plans beyond this are split into multiple pallas calls at tile
+# boundaries (SMEM is 1 MB on current TPUs)
+CHUNK_PASSES = 16384
 
 
-@partial(jax.jit, static_argnums=(0, 7))
-def _gather_spmv_call(shape_info, pass_tile, pass_q0, pass_first,
-                      sub, lane, val, interpret, x_pad):
+def _make_kernel(G):
+    def _kernel(tile_ref, first_ref, q0_ref, lane_ref, val_ref,
+                x_ref, y_ref):
+        from jax.experimental import pallas as pl
+
+        i = pl.program_id(0)
+
+        @pl.when(first_ref[i * G] == 1)
+        def _():
+            y_ref[...] = jnp.zeros_like(y_ref)
+
+        # one grid step = G passes on the same output tile: assemble the
+        # (G*8, 128) window (scalar-indexed sublane reads; q0 is
+        # flattened 1-D because 2-D SMEM operands get lane-padded x16),
+        # then ONE lane-gather + FMA + G-fold reduce
+        win = jnp.concatenate(
+            [x_ref[pl.ds(q0_ref[i * 8 * G + j], 1), :]
+             for j in range(8 * G)], axis=0)
+        lane = lane_ref[...].reshape(G * 8, 128).astype(jnp.int32)
+        g = jnp.take_along_axis(win, lane, axis=1)
+        prod = (g * val_ref[...].reshape(G * 8, 128)).reshape(G, 8, 128)
+        y_ref[...] = y_ref[...] + jnp.sum(prod, axis=0)
+    return _kernel
+
+
+@partial(jax.jit, static_argnums=(0, 6))
+def _gather_spmv_call(shape_info, pass_tile, pass_first, q0,
+                      lane, val, interpret, x_pad):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n_row_tiles, x_sublanes, NP = shape_info
+    n_row_tiles, NP, G = shape_info
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(NP,),
+        grid=(NP // G,),
         in_specs=[
-            pl.BlockSpec((1, 8, 128), lambda i, t, q, f: (i, 0, 0),
+            pl.BlockSpec((G, 8, 128), lambda i, t, f, q: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i, t, q, f: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i, t, q, f: (i, 0, 0),
+            pl.BlockSpec((G, 8, 128), lambda i, t, f, q: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x, whole
         ],
-        out_specs=pl.BlockSpec((8, 128), lambda i, t, q, f: (t[i], 0),
+        out_specs=pl.BlockSpec((8, 128), lambda i, t, f, q: (t[i * G], 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(G),
         out_shape=jax.ShapeDtypeStruct((n_row_tiles * 8, 128), val.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(pass_tile, pass_q0, pass_first, sub, lane, val, x_pad)
+    )(pass_tile, pass_first, q0, lane, val, x_pad)
+
+
+def _chunk_bounds(plan: GatherPlan):
+    """[(p0, p1, t0, t1), ...] pass/tile ranges, each within the SMEM
+    budget and split at tile boundaries; None if a single tile exceeds
+    the budget (caller falls back to XLA)."""
+    NP = plan.num_passes
+    if NP <= CHUNK_PASSES:
+        return [(0, NP, 0, plan.n_row_tiles)]
+    starts = np.append(np.flatnonzero(plan.pass_first), NP)
+    bounds = []
+    c0 = 0
+    while c0 < NP:
+        hi = int(np.searchsorted(starts, c0 + CHUNK_PASSES, side="right")) - 1
+        c1 = int(starts[hi]) if starts[hi] > c0 else -1
+        if c0 + CHUNK_PASSES >= NP:
+            c1 = NP
+        if c1 <= c0:
+            return None
+        t0 = int(plan.pass_tile[c0])
+        t1 = int(plan.pass_tile[c1 - 1]) + 1
+        bounds.append((c0, c1, t0, t1))
+        c0 = c1
+    return bounds
 
 
 class GatherSpMV:
-    """Device-side executor for a GatherPlan."""
+    """Device-side executor for a GatherPlan.
+
+    Storage is per *chunk* (a contiguous run of tiles whose passes fit
+    the SMEM scalar-prefetch budget): each chunk holds
+    (tile-rebased, first, q0-flat, lane, val) device arrays plus static
+    (t0, t1); most plans are a single chunk."""
 
     def __init__(self, plan: GatherPlan, dtype=jnp.float32,
                  force_xla: bool = False, interpret: bool = False):
@@ -95,6 +130,7 @@ class GatherSpMV:
         self.n_row_tiles = plan.n_row_tiles
         self.x_sublanes = plan.x_sublanes
         self.NP = plan.num_passes
+        self.group = plan.group
         self.dtype = dtype
         # On non-Mosaic backends the interpreter would run one Python
         # step per pass — use the XLA segment-sum fallback instead
@@ -105,16 +141,20 @@ class GatherSpMV:
         self.use_pallas = (self.NP > 0 and not force_xla
                            and not (is64 and not interpret)
                            and (interpret or _backend_supports_pallas()))
+        bounds = _chunk_bounds(plan) if self.use_pallas else None
+        if self.use_pallas and bounds is None:
+            self.use_pallas = False
         if self.use_pallas:
-            self.pass_tile = jnp.asarray(plan.pass_tile)
-            self.pass_q0 = jnp.asarray(plan.pass_q0)
-            self.pass_first = jnp.asarray(plan.pass_first)
-            # transfer int8; widening to int32 happens lazily inside the
-            # caller's jit (one fused convert per compiled program instead
-            # of an eager dispatch per array at setup time)
-            self.sub = jnp.asarray(plan.sub)
-            self.lane = jnp.asarray(plan.lane)
-            self.val = jnp.asarray(plan.val, dtype=dtype)
+            self.chunks = []
+            for (p0, p1, t0, t1) in bounds:
+                self.chunks.append((
+                    jnp.asarray(plan.pass_tile[p0:p1] - t0),
+                    jnp.asarray(plan.pass_first[p0:p1]),
+                    jnp.asarray(plan.q0[p0:p1].reshape(-1)),
+                    # transfer int8; widening happens inside the kernel
+                    jnp.asarray(plan.lane[p0:p1]),
+                    jnp.asarray(plan.val[p0:p1], dtype=dtype),
+                    t0, t1))
         else:
             # XLA fallback keeps COO-style data
             mask = plan.val != 0
@@ -122,30 +162,35 @@ class GatherSpMV:
             self.f_rows = jnp.asarray(
                 plan.pass_tile[p] * TILE_ROWS + s * 128 + l)
             self.f_cols = jnp.asarray(
-                (plan.pass_q0[p] + plan.sub[mask]) * 128 + plan.lane[mask])
+                plan.q0[p, s].astype(np.int64) * 128 + plan.lane[mask])
             self.f_vals = jnp.asarray(plan.val[mask], dtype=dtype)
 
     def tree_children(self):
         if self.use_pallas:
-            return (self.pass_tile, self.pass_q0, self.pass_first,
-                    self.sub, self.lane, self.val)
+            out = []
+            for c in self.chunks:
+                out.extend(c[:5])
+            return tuple(out)
         return (self.f_rows, self.f_cols, self.f_vals)
 
     def set_children(self, ch):
         if self.use_pallas:
-            (self.pass_tile, self.pass_q0, self.pass_first,
-             self.sub, self.lane, self.val) = ch
+            self.chunks = [tuple(ch[i * 5:(i + 1) * 5]) + c[5:]
+                           for i, c in enumerate(self.chunks)]
         else:
             (self.f_rows, self.f_cols, self.f_vals) = ch
 
     # -- structural helpers (diagnostics, scaling, host round-trip) -------
 
-    def _rows_cols(self):
-        """(rows, cols) as (NP, 8, 128) device arrays."""
+    def _rows_cols(self, c):
+        """(rows, cols) of one chunk as (np_c, 8, 128) device arrays
+        (rows are global)."""
+        tile, _, q0, lane, _, t0, _ = c
+        np_c = tile.shape[0]
         s = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
         l = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
-        rows = (self.pass_tile[:, None, None] * TILE_ROWS + s * 128 + l)
-        cols = (self.pass_q0[:, None, None] + self.sub) * 128 + self.lane
+        rows = ((tile[:, None, None] + t0) * TILE_ROWS + s * 128 + l)
+        cols = q0.reshape(np_c, 8)[:, :, None] * 128 + lane
         return rows, cols
 
     def diagonal_contrib(self) -> jnp.ndarray:
@@ -157,12 +202,16 @@ class GatherSpMV:
                                     self.f_rows,
                                     num_segments=self.n_row_tiles * TILE_ROWS)
             return d[:self.n_rows]
-        rows, cols = self._rows_cols()
-        masked = jnp.where(rows == cols, self.val, 0.0)
-        d = jax.ops.segment_sum(masked.reshape(self.NP, TILE_ROWS),
-                                self.pass_tile,
-                                num_segments=self.n_row_tiles)
-        return d.reshape(-1)[:self.n_rows]
+        parts = []
+        for c in self.chunks:
+            tile, _, _, _, val, t0, t1 = c
+            rows, cols = self._rows_cols(c)
+            masked = jnp.where(rows == cols, val, 0.0)
+            d = jax.ops.segment_sum(
+                masked.reshape(tile.shape[0], TILE_ROWS), tile,
+                num_segments=t1 - t0)
+            parts.append(d.reshape(-1))
+        return jnp.concatenate(parts)[:self.n_rows]
 
     def l1_contrib(self) -> jnp.ndarray:
         if self.NP == 0:
@@ -171,10 +220,14 @@ class GatherSpMV:
             d = jax.ops.segment_sum(jnp.abs(self.f_vals), self.f_rows,
                                     num_segments=self.n_row_tiles * TILE_ROWS)
             return d[:self.n_rows]
-        d = jax.ops.segment_sum(
-            jnp.abs(self.val).reshape(self.NP, TILE_ROWS), self.pass_tile,
-            num_segments=self.n_row_tiles)
-        return d.reshape(-1)[:self.n_rows]
+        parts = []
+        for c in self.chunks:
+            tile, _, _, _, val, t0, t1 = c
+            d = jax.ops.segment_sum(
+                jnp.abs(val).reshape(tile.shape[0], TILE_ROWS), tile,
+                num_segments=t1 - t0)
+            parts.append(d.reshape(-1))
+        return jnp.concatenate(parts)[:self.n_rows]
 
     def scaled(self, sl, sr) -> "GatherSpMV":
         """New executor with values Sl·V·Sr (device-side)."""
@@ -189,37 +242,46 @@ class GatherSpMV:
                 v = v * sr[self.f_cols]
             out.f_vals = v
             return out
-        rows, cols = self._rows_cols()
-        v = self.val
+        slp = srp = None
         if sl is not None:
             slp = jnp.concatenate([
                 sl.astype(self.dtype),
                 jnp.zeros(self.n_row_tiles * TILE_ROWS - self.n_rows,
-                          self.dtype)])
-            v = v * slp.reshape(self.n_row_tiles, 8, 128)[self.pass_tile]
+                          self.dtype)]).reshape(self.n_row_tiles, 8, 128)
         if sr is not None:
             srp = jnp.concatenate([
                 sr.astype(self.dtype),
                 jnp.zeros(self.x_sublanes * 128 - self.n_cols, self.dtype)])
-            v = v * srp[cols]       # one-off XLA gather: setup, not hot
-        out.val = v
+        new_chunks = []
+        for c in self.chunks:
+            tile, first, q0, lane, val, t0, t1 = c
+            if slp is not None:
+                val = val * slp[tile + t0]
+            if srp is not None:
+                _, cols = self._rows_cols(c)
+                val = val * srp[cols]   # one-off XLA gather: setup path
+            new_chunks.append((tile, first, q0, lane, val, t0, t1))
+        out.chunks = new_chunks
         return out
 
     def to_coo_host(self):
         """(rows, cols, vals) numpy arrays of the planned entries."""
         if self.NP == 0:
-            import numpy as _np
-
-            return (_np.empty(0, _np.int64), _np.empty(0, _np.int64),
-                    _np.empty(0))
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0))
         if not self.use_pallas:
             return (np.asarray(self.f_rows), np.asarray(self.f_cols),
                     np.asarray(self.f_vals))
-        rows, cols = self._rows_cols()
-        rows, cols, vals = (np.asarray(rows), np.asarray(cols),
-                            np.asarray(self.val))
-        mask = vals != 0
-        return rows[mask], cols[mask], vals[mask]
+        rr, cc, vv = [], [], []
+        for c in self.chunks:
+            rows, cols = self._rows_cols(c)
+            rows, cols, vals = (np.asarray(rows), np.asarray(cols),
+                                np.asarray(c[4]))
+            mask = vals != 0
+            rr.append(rows[mask])
+            cc.append(cols[mask])
+            vv.append(vals[mask])
+        return np.concatenate(rr), np.concatenate(cc), np.concatenate(vv)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """y = A_rest @ x for the planned entries."""
@@ -233,10 +295,11 @@ class GatherSpMV:
         xp = jnp.zeros(self.x_sublanes * 128, x.dtype)
         xp = jax.lax.dynamic_update_slice(xp, x.astype(self.dtype), (0,))
         x_pad = xp.reshape(self.x_sublanes, 128)
-        sub = self.sub.astype(jnp.int32)
-        lane = self.lane.astype(jnp.int32)
-        y = _gather_spmv_call(
-            (self.n_row_tiles, self.x_sublanes, self.NP),
-            self.pass_tile, self.pass_q0, self.pass_first,
-            sub, lane, self.val, self.interpret, x_pad)
+        parts = []
+        for c in self.chunks:
+            tile, first, q0, lane, val, t0, t1 = c
+            parts.append(_gather_spmv_call(
+                (t1 - t0, tile.shape[0], self.group),
+                tile, first, q0, lane, val, self.interpret, x_pad))
+        y = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         return y.reshape(-1)[:self.n_rows].astype(x.dtype)

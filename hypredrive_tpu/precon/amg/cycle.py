@@ -12,7 +12,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .hierarchy import AMGState, AMGLevel
+from .hierarchy import AMGState, AMGLevel, GS_TRI_ITERS
+
+
+def _tri_jacobi(d_inv, T, r):
+    """z ≈ (D + T)⁻¹ r by Jacobi iteration (T strictly triangular) —
+    the SpMV-shaped triangular solve (ref: ilu.h tri_solve=off,
+    lower/upper_jac_iters)."""
+    z = d_inv * r
+    for _ in range(GS_TRI_ITERS):
+        z = d_inv * (r - T.matvec(z))
+    return z
 
 
 def _smooth(level: AMGLevel, x, b, sweeps: int, phase: str = "pre"):
@@ -26,14 +36,29 @@ def _smooth(level: AMGLevel, x, b, sweeps: int, phase: str = "pre"):
         return x
     A = level.A
     kind = level.smoother
+    arrays = level.smooth_arrays
+    if phase == "post" and level.up_smoother is not None:
+        # independent post smoother (ref amg.c down_type/up_type)
+        kind = level.up_smoother
+        arrays = level.up_arrays
     if kind == "fsai":
         # complex smoother (ref: amg.c:441-457): x += Gᵀ G (b − A x)
-        G, GT = level.smooth_arrays
+        G, GT = arrays
         for _ in range(sweeps):
             x = x + GT.matvec(G.matvec(b - A.matvec(x)))
         return x
+    if kind in ("gs-fwd", "gs-bwd", "gs-sym"):
+        # hybrid Gauss-Seidel: x += (D+L)⁻¹(b−Ax) with Jacobi-iterated
+        # triangular solves (ref: amg.c relax types 3/4/6/8/13/14/89)
+        d_inv, L, U = arrays
+        for _ in range(sweeps):
+            if kind in ("gs-fwd", "gs-sym"):
+                x = x + _tri_jacobi(d_inv, L, b - A.matvec(x))
+            if kind in ("gs-bwd", "gs-sym"):
+                x = x + _tri_jacobi(d_inv, U, b - A.matvec(x))
+        return x
     if kind.startswith("air-"):
-        d_inv, fmask = level.smooth_arrays
+        d_inv, fmask = arrays
         for k in range(sweeps):
             if phase == "post":
                 mask = (1.0 - fmask) if (sweeps > 2 and k == sweeps - 1) \
@@ -43,7 +68,7 @@ def _smooth(level: AMGLevel, x, b, sweeps: int, phase: str = "pre"):
             x = x + mask * d_inv * (b - A.matvec(x))
         return x
     if kind == "chebyshev":
-        d_inv, theta, delta, rhos = level.smooth_arrays
+        d_inv, theta, delta, rhos = arrays
         order = rhos.shape[0]
         for _ in range(sweeps):
             # Chebyshev on the residual equation A e = r, x += e
@@ -58,7 +83,7 @@ def _smooth(level: AMGLevel, x, b, sweeps: int, phase: str = "pre"):
                 rho_prev = rhos[k]
             x = x + z
         return x
-    (d_inv,) = level.smooth_arrays
+    (d_inv,) = arrays
     for _ in range(sweeps):
         x = x + d_inv * (b - A.matvec(x))
     return x

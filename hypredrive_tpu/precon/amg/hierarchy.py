@@ -31,15 +31,24 @@ from .interp import build_interpolation
 from .air import build_restriction
 
 # relax-type codes → native smoother kinds
-# (ref vocab: amg.c AMGrlxGetValidValues; sequential GS variants map to
-# their ℓ1-Jacobi device equivalents, the reference's own GPU fallback)
+# (ref vocab: amg.c AMGrlxGetValidValues).  GS-family types are real
+# hybrid Gauss-Seidel here: the triangular solve is approximated with a
+# fixed number of Jacobi iterations on (D+L) — the reference's own
+# GPU-friendly switch (ilu.h tri_solve + lower/upper_jac_iters applied
+# to smoothing), which keeps the kernel SpMV-shaped for the TPU.
 _RELAX_KIND = {
     0: "jacobi", 7: "jacobi", 18: "l1-jacobi",
-    3: "l1-jacobi", 4: "l1-jacobi", 5: "l1-jacobi", 6: "l1-jacobi",
-    8: "l1-jacobi", 13: "l1-jacobi", 14: "l1-jacobi", 89: "l1-jacobi",
-    11: "l1-jacobi", 12: "l1-jacobi",
+    3: "gs-fwd", 4: "gs-bwd", 5: "gs-fwd", 6: "gs-sym",
+    8: "gs-sym", 10: "gs-fwd", 11: "gs-fwd", 12: "gs-fwd",
+    13: "gs-fwd", 14: "gs-bwd", 89: "gs-sym",
     16: "chebyshev",
 }
+
+# Jacobi iterations approximating each triangular solve in the hybrid
+# GS smoothers (z ← D⁻¹(r − L z) repeated); 2 corrections after the
+# D⁻¹r seed reproduce hypre's hybrid-GS iteration counts on the
+# example suite while staying pure-SpMV.
+GS_TRI_ITERS = 2
 
 
 @jax.tree_util.register_pytree_node_class
@@ -48,19 +57,24 @@ class AMGLevel:
     A: EllMatrix
     P: Optional[EllMatrix]          # prolongation (None on coarsest)
     R: Optional[EllMatrix]          # restriction (Pᵀ unless AIR)
-    smooth_arrays: Tuple            # arrays for the smoother
-    smoother: str = "l1-jacobi"     # static
+    smooth_arrays: Tuple            # arrays for the down smoother
+    smoother: str = "l1-jacobi"     # static (down/pre kind)
     pre_sweeps: int = 1             # static
     post_sweeps: int = 1            # static
+    up_smoother: Optional[str] = None   # static; None → same as down
+    up_arrays: Optional[Tuple] = None   # arrays for the up smoother
 
     def tree_flatten(self):
-        return ((self.A, self.P, self.R, self.smooth_arrays),
-                (self.smoother, self.pre_sweeps, self.post_sweeps))
+        return ((self.A, self.P, self.R, self.smooth_arrays,
+                 self.up_arrays),
+                (self.smoother, self.pre_sweeps, self.post_sweeps,
+                 self.up_smoother))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        A, P, R, sm = children
-        return cls(A, P, R, sm, *aux)
+        A, P, R, sm, up = children
+        kind, pre, post, up_kind = aux
+        return cls(A, P, R, sm, kind, pre, post, up_kind, up)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -121,6 +135,27 @@ def _smoother_arrays(kind: str, A_host: sp.csr_matrix, E: EllMatrix,
         theta, delta, rhos = cheby_coefficients(lam, fraction, order)
         return (jnp.asarray(d_inv_np, dtype), jnp.asarray(theta, dtype),
                 jnp.asarray(delta, dtype), jnp.asarray(rhos, dtype))
+    if kind in ("gs-fwd", "gs-bwd", "gs-sym"):
+        # hybrid GS: strict triangular parts as device operators + the
+        # diagonal; the cycle Jacobi-iterates (D+L)z = r
+        diag = A_host.diagonal()
+        d = np.where(diag != 0, weight / diag, 1.0)
+        mesh = getattr(E, "mesh", None)
+        need_l = kind in ("gs-fwd", "gs-sym")
+        need_u = kind in ("gs-bwd", "gs-sym")
+        L = sp.tril(A_host, -1, format="csr") if need_l else None
+        U = sp.triu(A_host, 1, format="csr") if need_u else None
+        if mesh is not None:
+            from ...parallel.dist_matrix import DistEllMatrix
+
+            Lm = DistEllMatrix.from_csr(L, mesh, dtype=dtype) \
+                if need_l else None
+            Um = DistEllMatrix.from_csr(U, mesh, dtype=dtype) \
+                if need_u else None
+        else:
+            Lm = EllMatrix.from_csr(L, dtype=dtype) if need_l else None
+            Um = EllMatrix.from_csr(U, dtype=dtype) if need_u else None
+        return (jnp.asarray(d, dtype), Lm, Um)
     if kind == "jacobi":
         diag = A_host.diagonal()
         d = np.where(diag != 0, weight / diag, 1.0)
@@ -139,6 +174,11 @@ def _pad_smoother_arrays(arrs: Tuple, n_pad: int, mesh) -> Tuple:
 
     out = []
     for a in arrs:
+        if a is None or hasattr(a, "matvec"):
+            # matrix-valued smoother operands (hybrid-GS L/U) are
+            # already sharded by their own from_csr
+            out.append(a)
+            continue
         a_np = np.asarray(a)
         if a_np.ndim == 1 and a_np.shape[0] != n_pad and a_np.shape[0] > 4:
             padded = np.ones(n_pad, dtype=a_np.dtype)
@@ -229,11 +269,15 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
     min_coarse = int(csn.min_coarse_size)
     num_functions = int(csn.num_functions)
 
-    down_kind = _RELAX_KIND.get(int(rlx.down_type), "l1-jacobi")
-    up_kind = _RELAX_KIND.get(int(rlx.up_type), "l1-jacobi")
-    # one smoother kind per level in v1: prefer chebyshev when either
-    # direction asks for it, else the down kind
-    kind = "chebyshev" if "chebyshev" in (down_kind, up_kind) else down_kind
+    if int(rlx.type) >= 0:
+        # relaxation.type sets every direction at once (hypre
+        # BoomerAMGSetRelaxType semantics; overridden by down/up below
+        # only when those were not given — the schema default is -1)
+        down_kind = up_kind = _RELAX_KIND.get(int(rlx.type), "l1-jacobi")
+    else:
+        down_kind = _RELAX_KIND.get(int(rlx.down_type), "l1-jacobi")
+        up_kind = _RELAX_KIND.get(int(rlx.up_type), "l1-jacobi")
+    kind = down_kind
     num_sweeps = max(1, int(rlx.num_sweeps))
     pre = int(rlx.down_sweeps) if int(rlx.down_sweeps) >= 0 else num_sweeps
     post = int(rlx.up_sweeps) if int(rlx.up_sweeps) >= 0 else num_sweeps
@@ -253,9 +297,14 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
     restrict_th = float(itp.restrict_strong_th)
     restrict_filter = float(itp.restrict_filter_th)
     air_points = int(rlx.points) == 1
-    if air_points and kind != "chebyshev":
-        base = "jacobi" if up_kind == "jacobi" else "l1-jacobi"
-        kind = "air-" + base
+    if air_points:
+        # F/C-masked relaxation schedule (mask only matters on the up
+        # sweep; the down sweep relaxes all points)
+        if kind not in ("chebyshev",):
+            kind = "air-" + ("jacobi" if kind == "jacobi" else "l1-jacobi")
+        if up_kind not in ("chebyshev",):
+            up_kind = "air-" + ("jacobi" if up_kind == "jacobi"
+                                else "l1-jacobi")
 
     levels: List[AMGLevel] = []
     A_l = sp.csr_matrix(A_host)
@@ -312,7 +361,8 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
         R = R_air if R_air is not None else sp.csr_matrix(P.T)
         A_c = sp.csr_matrix(R @ A_l @ P)   # (Petrov-)Galerkin RAP
         A_c.sort_indices()
-        fmask = (cf < 0).astype(np.float64) if kind.startswith("air-") \
+        fmask = (cf < 0).astype(np.float64) \
+            if (kind.startswith("air-") or up_kind.startswith("air-")) \
             else None
 
         if mesh is not None:
@@ -322,12 +372,19 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
             sm = _pad_smoother_arrays(
                 _smoother_arrays(kind, A_l, E, rlx.chebyshev, weight, fmask),
                 E.shape[0], mesh)
+            up_k = up_sm = None
+            if up_kind != kind:
+                up_k = up_kind
+                up_sm = _pad_smoother_arrays(
+                    _smoother_arrays(up_kind, A_l, E, rlx.chebyshev,
+                                     weight, fmask), E.shape[0], mesh)
             levels.append(AMGLevel(
                 A=E,
                 P=DistEllMatrix.from_csr(P, mesh, dtype=dtype),
                 R=DistEllMatrix.from_csr(R, mesh, dtype=dtype),
                 smooth_arrays=sm, smoother=kind,
                 pre_sweeps=pre, post_sweeps=post,
+                up_smoother=up_k, up_arrays=up_sm,
             ))
         else:
             E = EllMatrix.from_csr(A_l, dtype=dtype)
@@ -349,6 +406,14 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
             if sm is None:
                 sm = _smoother_arrays(kind, A_l, E, rlx.chebyshev,
                                       weight, fmask)
+            up_k = up_sm = None
+            if up_kind != kind and lvl_kind != "fsai":
+                # independent up (post) smoother — the reference
+                # configures down/up relax types separately
+                # (ref: amg.c:355-400 down_type/up_type)
+                up_k = up_kind
+                up_sm = _smoother_arrays(up_kind, A_l, E, rlx.chebyshev,
+                                         weight, fmask)
             levels.append(AMGLevel(
                 A=E,
                 P=EllMatrix.from_csr(P, dtype=dtype),
@@ -357,6 +422,7 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
                 smoother=lvl_kind,
                 pre_sweeps=pre if lvl_kind != "fsai" else smoother_sweeps,
                 post_sweeps=post if lvl_kind != "fsai" else smoother_sweeps,
+                up_smoother=up_k, up_arrays=up_sm,
             ))
         if func_l is not None:
             func_l = func_l[cf > 0]
@@ -395,7 +461,7 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
     return AMGState(
         levels=tuple(levels),
         coarse_inv=coarse_inv,
-        cycle_type=0,
+        cycle_type=0 if int(getattr(amg_args, "cycle_type", 1)) <= 1 else 1,
         max_iter=max(1, int(amg_args.max_iter)),
         mesh=mesh,
     )

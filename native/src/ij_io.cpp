@@ -275,86 +275,159 @@ int hdrv_write_ij_vector_ascii(const char *path, int64_t ilower,
 // Gather-plan builder (TPU SpMV setup hot path).
 //
 // Native counterpart of hypredrive_tpu/ops/gather_plan.py:build_plan —
-// one sort by (tile, window, row) then O(n) run-length pass assembly.
+// the per-output-sublane window scheme: a pass gives each of the 8
+// output sublanes of a 1024-row tile its own x-sublane q0[pass*8+i];
+// entries of output block (tile, i) are grouped into subgroups
+// (x-sublane s, occurrence k within (row, s)), subgroup rank j within
+// its block = pass slot.  Two sorts + O(n) run-length walks.
 // Two-phase API so the caller (numpy) allocates the output buffers and
-// the fill writes them exactly once — no intermediate copies, no
-// astype pass (the val buffer is filled at the requested width):
-//   h = hdrv_plan_begin(rows, cols, vals, n)   // sort + count passes
+// the fill writes them exactly once:
+//   h = hdrv_plan_begin(rows, cols, vals, n, n_row_tiles)
 //   hdrv_plan_np(h)                            // -> pass count
-//   hdrv_plan_fill(h, tile, q0, first, sub, lane, val, want_f32)
+//   hdrv_plan_fill(h, tile, first, q0, lane, val, want_f32)
 //   hdrv_plan_end(h)
 // rows/cols/vals must stay alive until hdrv_plan_fill returns.
 // ---------------------------------------------------------------------------
 
 #include <algorithm>
+#include <utility>
 #include <vector>
+
+namespace {
+struct PlanEnt {
+  int64_t pass;
+  int32_t pos;    // i8 * 128 + lane-row within the output tile
+  int8_t lane;    // column lane within the x-sublane
+  int64_t src;    // source entry index (for the value)
+};
+struct PlanSg {
+  int64_t pass;
+  int32_t i8;
+  int32_t s;      // x-sublane
+};
+struct PlanState {
+  std::vector<PlanEnt> ent;
+  std::vector<PlanSg> sg;
+  std::vector<int64_t> base;  // per-tile pass offsets, size n_row_tiles+1
+};
+}  // namespace
 
 extern "C" {
 
 typedef struct {
   int64_t np_;
   int64_t n;
-  const int64_t *cols;
+  int64_t n_row_tiles;
   const double *vals;
-  void *keyed;  // std::vector<std::pair<int64_t,int64_t>>*
+  void *state;  // PlanState*
   char err[256];
 } hdrv_plan_handle;
 
 void hdrv_plan_end(hdrv_plan_handle *h) {
   if (!h) return;
-  delete static_cast<std::vector<std::pair<int64_t, int64_t>> *>(h->keyed);
+  delete static_cast<PlanState *>(h->state);
   free(h);
 }
 
 hdrv_plan_handle *hdrv_plan_begin(const int64_t *rows, const int64_t *cols,
-                                  const double *vals, int64_t n) {
+                                  const double *vals, int64_t n,
+                                  int64_t n_row_tiles) {
   hdrv_plan_handle *h =
       (hdrv_plan_handle *)calloc(1, sizeof(hdrv_plan_handle));
   if (!h) return nullptr;
   h->n = n;
-  h->cols = cols;
+  h->n_row_tiles = n_row_tiles;
   h->vals = vals;
   if (n == 0) return h;
 
-  auto *keyed = new (std::nothrow)
-      std::vector<std::pair<int64_t, int64_t>>((size_t)n);
-  if (!keyed) {
-    snprintf(h->err, sizeof h->err, "out of memory (%lld entries)",
-             (long long)n);
+  auto *st = new (std::nothrow) PlanState;
+  if (!st) {
+    snprintf(h->err, sizeof h->err, "out of memory");
     return h;
   }
-  h->keyed = keyed;
-  for (int64_t i = 0; i < n; ++i) {
-    int64_t tile = rows[i] >> 10;  // 1024-row output tile
-    int64_t lrow = rows[i] & 1023;
-    int64_t win = cols[i] >> 10;   // 1024-col x window
-    (*keyed)[(size_t)i] = {(tile << 40) | (win << 20) | lrow, i};
-  }
-  std::sort(keyed->begin(), keyed->end());
+  h->state = st;
 
-  // count passes = sum over (tile,win) groups of max same-row run length
-  int64_t np_total = 0, run = 0, kmax = 0;
-  int64_t prev_key = -1, prev_tw = -1;
+  // sort entries by (row, col); rows/cols must fit 31 bits for the
+  // packed key (caller falls back to numpy otherwise)
+  std::vector<std::pair<int64_t, int64_t>> keyed;
+  keyed.reserve((size_t)n);
   for (int64_t i = 0; i < n; ++i) {
-    int64_t key = (*keyed)[(size_t)i].first;
-    int64_t tw = key >> 20;
-    if (tw != prev_tw) {
-      np_total += kmax;
-      kmax = 0;
-      run = 0;
-      prev_tw = tw;
-      prev_key = -1;
+    if (rows[i] >= (1LL << 31) || cols[i] >= (1LL << 31) ||
+        rows[i] < 0 || cols[i] < 0) {
+      snprintf(h->err, sizeof h->err, "index exceeds 31 bits");
+      return h;
     }
-    if (key != prev_key) {
-      run = 0;
-      prev_key = key;
-    } else {
-      ++run;
-    }
-    if (run + 1 > kmax) kmax = run + 1;
+    keyed.emplace_back((rows[i] << 31) | cols[i], i);
   }
-  np_total += kmax;
-  h->np_ = np_total;
+  std::sort(keyed.begin(), keyed.end());
+
+  // occurrence k within (row, s); re-key by subgroup (blk, s, k)
+  std::vector<std::pair<int64_t, int64_t>> sgkey((size_t)n);
+  int64_t prev_rs = -1, k = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t key = keyed[(size_t)i].first;
+    int64_t e = keyed[(size_t)i].second;
+    int64_t row = key >> 31, col = key & ((1LL << 31) - 1);
+    int64_t s = col >> 7;
+    int64_t rs = (row << 24) | s;  // s < 2^24 guaranteed by col < 2^31
+    k = (rs == prev_rs) ? k + 1 : 0;
+    prev_rs = rs;
+    if (k >= 512) {
+      snprintf(h->err, sizeof h->err, "more than 512 duplicate entries");
+      return h;
+    }
+    int64_t blk = row >> 7;
+    sgkey[(size_t)i] = {(blk << 33) | (s << 9) | k, e};
+  }
+  std::sort(sgkey.begin(), sgkey.end());
+
+  // per-tile pass counts (>= 1, so every tile gets a zero-init pass)
+  std::vector<int64_t> npass((size_t)n_row_tiles, 1);
+  int64_t prev_sg = -1, prev_blk = -1, j = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t key = sgkey[(size_t)i].first;
+    if (key == prev_sg) continue;
+    prev_sg = key;
+    int64_t blk = key >> 33;
+    j = (blk == prev_blk) ? j + 1 : 0;
+    prev_blk = blk;
+    int64_t t = blk >> 3;
+    if (j + 1 > npass[(size_t)t]) npass[(size_t)t] = j + 1;
+  }
+  st->base.assign((size_t)n_row_tiles + 1, 0);
+  for (int64_t t = 0; t < n_row_tiles; ++t)
+    st->base[(size_t)t + 1] = st->base[(size_t)t] + npass[(size_t)t];
+  h->np_ = st->base[(size_t)n_row_tiles];
+
+  // assign passes to subgroups and entries
+  st->ent.reserve((size_t)n);
+  prev_sg = -1;
+  prev_blk = -1;
+  j = -1;
+  int64_t pass = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t key = sgkey[(size_t)i].first;
+    int64_t e = sgkey[(size_t)i].second;
+    if (key != prev_sg) {
+      prev_sg = key;
+      int64_t blk = key >> 33;
+      j = (blk == prev_blk) ? j + 1 : 0;
+      prev_blk = blk;
+      pass = st->base[(size_t)(blk >> 3)] + j;
+      PlanSg g;
+      g.pass = pass;
+      g.i8 = (int32_t)(blk & 7);
+      g.s = (int32_t)((key >> 9) & ((1 << 24) - 1));
+      st->sg.push_back(g);
+    }
+    int64_t row = rows[e], col = cols[e];
+    PlanEnt pe;
+    pe.pass = pass;
+    pe.pos = (int32_t)(((row >> 7) & 7) * 128 + (row & 127));
+    pe.lane = (int8_t)(col & 127);
+    pe.src = e;
+    st->ent.push_back(pe);
+  }
   return h;
 }
 
@@ -366,51 +439,26 @@ const char *hdrv_plan_err(const hdrv_plan_handle *h) {
 
 // Buffers must be zero-initialized by the caller (holes stay 0).
 void hdrv_plan_fill(const hdrv_plan_handle *h, int32_t *pass_tile,
-                    int32_t *pass_q0, int32_t *pass_first, int8_t *sub,
-                    int8_t *lane, void *val, int want_f32) {
-  if (!h || !h->keyed) return;
-  const auto &keyed =
-      *static_cast<std::vector<std::pair<int64_t, int64_t>> *>(h->keyed);
+                    int32_t *pass_first, int32_t *q0, int8_t *lane,
+                    void *val, int want_f32) {
+  if (!h || !h->state) return;
+  const auto *st = static_cast<const PlanState *>(h->state);
   float *val32 = want_f32 ? (float *)val : nullptr;
   double *val64 = want_f32 ? nullptr : (double *)val;
 
-  int64_t pbase = 0, kmax = 0, slot = 0;
-  int64_t prev_key = -1, prev_tw = -1;
-  for (int64_t i = 0; i < h->n; ++i) {
-    int64_t key = keyed[(size_t)i].first;
-    int64_t e = keyed[(size_t)i].second;
-    int64_t tw = key >> 20;
-    if (tw != prev_tw) {
-      pbase += kmax;
-      kmax = 0;
-      prev_tw = tw;
-      prev_key = -1;
-    }
-    if (key != prev_key) {
-      slot = 0;
-      prev_key = key;
-    } else {
-      ++slot;
-    }
-    int64_t tile = key >> 40;
-    int64_t win = (key >> 20) & ((1 << 20) - 1);
-    int64_t p = pbase + slot;
-    if (slot + 1 > kmax) {
-      kmax = slot + 1;
-      pass_tile[p] = (int32_t)tile;
-      pass_q0[p] = (int32_t)(win * 8);
-    }
-    int64_t lrow = key & 1023;
-    int64_t c_local = h->cols[e] - win * 1024;
-    sub[p * 1024 + lrow] = (int8_t)(c_local >> 7);
-    lane[p * 1024 + lrow] = (int8_t)(c_local & 127);
-    if (val32)
-      val32[p * 1024 + lrow] = (float)h->vals[e];
-    else
-      val64[p * 1024 + lrow] = h->vals[e];
+  for (int64_t t = 0; t < h->n_row_tiles; ++t) {
+    for (int64_t p = st->base[(size_t)t]; p < st->base[(size_t)t + 1]; ++p)
+      pass_tile[p] = (int32_t)t;
+    pass_first[st->base[(size_t)t]] = 1;
   }
-  for (int64_t p = 0; p < h->np_; ++p)
-    pass_first[p] = (p == 0 || pass_tile[p] != pass_tile[p - 1]) ? 1 : 0;
+  for (const PlanSg &g : st->sg) q0[g.pass * 8 + g.i8] = g.s;
+  for (const PlanEnt &pe : st->ent) {
+    lane[pe.pass * 1024 + pe.pos] = pe.lane;
+    if (val32)
+      val32[pe.pass * 1024 + pe.pos] = (float)h->vals[pe.src];
+    else
+      val64[pe.pass * 1024 + pe.pos] = h->vals[pe.src];
+  }
 }
 
 }  // extern "C"

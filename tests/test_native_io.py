@@ -88,29 +88,25 @@ def test_scientific_and_negative(tmp_path):
 
 
 def test_native_gather_plan_matches_numpy():
-    """The C++ planner must produce an equivalent pass schedule."""
+    """The C++ planner must produce the same pass schedule as numpy."""
     import scipy.sparse as sp
-    from hypredrive_tpu.io.native import build_gather_plan
+    from hypredrive_tpu.io import native
     from hypredrive_tpu.ops import gather_plan as gp
 
     A = sp.random(3000, 2500, density=0.01, random_state=9, format="coo")
     A.data[:] = np.random.default_rng(9).standard_normal(len(A.data))
-    nat = build_gather_plan(A.row.astype(np.int64), A.col.astype(np.int64),
-                            A.data, 3000, 2500)
-    assert nat is not None
+    assert native.get_lib() is not None
 
-    # force the numpy path for comparison
+    nat = gp.build_plan(A.row, A.col, A.data, 3000, 2500)  # native path
     import unittest.mock as mock
-    with mock.patch.object(gp, "build_plan", wraps=gp.build_plan):
-        with mock.patch("hypredrive_tpu.io.native.build_gather_plan",
-                        return_value=None):
-            ref = gp.build_plan(A.row, A.col, A.data, 3000, 2500)
+    with mock.patch("hypredrive_tpu.io.native.build_gather_plan",
+                    return_value=None):
+        ref = gp.build_plan(A.row, A.col, A.data, 3000, 2500)
 
-    pt, q0, pf, sub, lane, val = nat
-    assert len(pt) == ref.num_passes
-    assert np.array_equal(pt, ref.pass_tile)
-    assert np.array_equal(q0, ref.pass_q0)
-    assert np.array_equal(pf, ref.pass_first)
-    assert np.array_equal(sub, ref.sub)
-    assert np.array_equal(lane, ref.lane)
-    assert np.allclose(val, ref.val)
+    assert nat.num_passes == ref.num_passes
+    assert nat.group == ref.group
+    assert np.array_equal(nat.pass_tile, ref.pass_tile)
+    assert np.array_equal(nat.pass_first, ref.pass_first)
+    assert np.array_equal(nat.q0, ref.q0)
+    assert np.array_equal(nat.lane, ref.lane)
+    assert np.allclose(nat.val, ref.val)

@@ -56,9 +56,9 @@ def test_plan_pass_invariants():
     # every entry present exactly once
     nnz_in_plan = int((plan.val != 0).sum())
     assert nnz_in_plan == len(A.data[A.data != 0])
-    # local indices within the 8x128 window
-    assert plan.sub.min() >= 0 and plan.sub.max() < 8
+    # indices in range: lanes within a sublane, q0 within the x operand
     assert plan.lane.min() >= 0 and plan.lane.max() < 128
+    assert plan.q0.min() >= 0 and plan.q0.max() < plan.x_sublanes
     npass, fill = plan_stats(plan)
     assert npass == plan.num_passes
 
@@ -131,7 +131,9 @@ def test_pad_plan_noop_passes():
     vals = rng.standard_normal(nnz)
     plan = build_plan(rows, cols, vals, n, n)
     plan_p = pad_plan(plan, plan.num_passes + 13)
-    assert plan_p.num_passes == plan.num_passes + 13
+    # padding is rounded up to whole kernel groups
+    assert plan_p.num_passes >= plan.num_passes + 13
+    assert plan_p.num_passes % plan.group == 0
     assert (plan_p.pass_first[plan.num_passes:] == 0).all()
     assert (plan_p.pass_tile[plan.num_passes:]
             == plan.pass_tile[-1]).all()
@@ -139,3 +141,34 @@ def test_pad_plan_noop_passes():
     y1 = np.asarray(GatherSpMV(plan, dtype=jnp.float64, interpret=True)(x))
     y2 = np.asarray(GatherSpMV(plan_p, dtype=jnp.float64, interpret=True)(x))
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_group_invariants():
+    """Every tile's pass count is a multiple of the kernel group size."""
+    A = _coo(9000, 9000, 0.004, seed=13)
+    plan = build_plan(A.row, A.col, A.data, 9000, 9000)
+    counts = np.bincount(plan.pass_tile, minlength=plan.n_row_tiles)
+    assert plan.group >= 1
+    assert (counts % plan.group == 0).all()
+    op = GatherSpMV(plan, dtype=jnp.float64, force_xla=True)
+    x = np.random.default_rng(3).standard_normal(9000)
+    assert np.allclose(np.asarray(op(jnp.asarray(x))), A @ x, atol=1e-10)
+
+
+def test_chunked_plan_matches(monkeypatch):
+    """Plans beyond the SMEM pass budget split into multiple pallas
+    calls at tile boundaries; results match the unchunked XLA path."""
+    import hypredrive_tpu.ops.pallas_spmv as ps
+
+    A = _coo(6000, 6000, 0.01, seed=17)
+    plan = build_plan(A.row, A.col, A.data, 6000, 6000)
+    monkeypatch.setattr(ps, "CHUNK_PASSES",
+                        max(plan.group * 2, plan.num_passes // 3))
+    op = ps.GatherSpMV(plan, dtype=jnp.float32, interpret=True)
+    assert op.use_pallas and len(op.chunks) >= 2
+    x = np.random.default_rng(5).standard_normal(6000).astype(np.float32)
+    y = np.asarray(op(jnp.asarray(x)))
+    ref = A @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+    d = np.asarray(op.diagonal_contrib())
+    assert np.allclose(d, A.tocsr().diagonal(), atol=1e-6)
