@@ -90,6 +90,7 @@ class HypreDrive:
         self.args.set_precon_variant(index)
         self.precon = None
         self.solver = None
+        self._mgr_component_cache = None   # cache is per-variant
 
     # -- linear system ----------------------------------------------------
 
@@ -224,6 +225,15 @@ class HypreDrive:
 
             self.precon = create_precon(self.args.preconditioner, self.args)
             self._precon_is_setup = False
+            cache = getattr(self, "_mgr_component_cache", None)
+            if cache is not None and getattr(self.precon, "method", "") == "mgr":
+                # MGR component-level reuse: cached F/G/coarsest solver
+                # components survive whole-precon rebuilds across a
+                # sequence (ref: hypredrv_MGRRefreshComponentsForSetup,
+                # include/internal/mgr.h:168-177)
+                self.precon._component_cache = cache
+                self.precon._setup_count = getattr(
+                    self, "_mgr_setup_count", 0)
         return self.precon
 
     def linear_solver_create(self):
@@ -271,6 +281,12 @@ class HypreDrive:
             and self._reuse_state.should_keep(self.current_system_index)
         )
         if not keep:
+            if self.precon is not None:
+                cache = getattr(self.precon, "_component_cache", None)
+                if cache:
+                    self._mgr_component_cache = cache
+                    self._mgr_setup_count = getattr(
+                        self.precon, "_setup_count", 0)
             self.precon = None
             self._precon_is_setup = False
 
@@ -325,6 +341,171 @@ class HypreDrive:
     def get_converged(self) -> bool:
         return self.stats.entries[-1].converged if self.stats.entries \
             else False
+
+    # -- remaining C-API-parity verbs (ref: include/HYPREDRV.h) ------------
+
+    def object_set_name(self, name: str):
+        """ref: HYPREDRV_ObjectSetName (include/HYPREDRV.h:447)."""
+        self.name = str(name)
+        if self.stats is not None:
+            self.stats.name = self.name
+
+    def apply_preset_text(self, text: str, kind: str = "precon"):
+        """Replace the solver/preconditioner section of the active config
+        with a preset's YAML text (ref: HYPREDRV_InputArgsSetPreconPreset /
+        SetSolverPreset, include/HYPREDRV.h:570-641)."""
+        from .config.yamlparse import load_yaml_text
+        from .config.parse import parse_tree
+
+        if self.args is None:
+            raise HypredrvError("input args not parsed",
+                                ErrorCode.UNKNOWN_OBJ)
+        tree = dict(self.args.raw_tree)
+        sub = load_yaml_text(text)
+        section = "preconditioner" if kind == "precon" else "solver"
+        # the preset text may be a bare section body or carry the header
+        tree[section] = sub.get(section, sub)
+        self.args = parse_tree(tree, object_name=self.name)
+        self._after_args()
+        self.precon = None
+        self.solver = None
+        return self.args
+
+    def set_matrix(self, A):
+        """Borrow a scipy/dense matrix as the system operator
+        (ref: HYPREDRV_LinearSystemSetMatrix, include/HYPREDRV.h:728)."""
+        import scipy.sparse as sp
+
+        A = sp.csr_matrix(A)
+        return self.set_matrix_from_csr(A.indptr, A.indices, A.data)
+
+    def read_matrix(self, path: str):
+        """ref: HYPREDRV_LinearSystemReadMatrix (include/HYPREDRV.h:699)."""
+        from .io.ij import read_matrix_auto
+
+        A, _ = read_matrix_auto(path)
+        return self.set_matrix(A)
+
+    def set_prec_matrix(self, M=None):
+        """Separate preconditioning matrix, or alias of A when None
+        (ref: HYPREDRV_LinearSystemSetPrecMatrix, include/HYPREDRV.h:1092)."""
+        import scipy.sparse as sp
+
+        sys_ = self._require_system()
+        sys_.M_host = sp.csr_matrix(M) if M is not None else None
+
+    def set_solution(self, values):
+        """ref: HYPREDRV_LinearSystemSetSolution (include/HYPREDRV.h:988)."""
+        sys_ = self._require_system()
+        sys_.x = np.asarray(values, dtype=np.float64)
+
+    def set_reference_solution(self, values):
+        """ref: HYPREDRV_LinearSystemSetReferenceSolution (HYPREDRV.h:1026)."""
+        self._require_system().set_xref_array(np.asarray(values))
+
+    def set_dofmap(self, labels):
+        """ref: HYPREDRV_LinearSystemSetDofmap (include/HYPREDRV.h:1128)."""
+        self._require_system().set_dofmap(np.asarray(labels, dtype=np.int64))
+
+    def set_interleaved_dofmap(self, num_functions: int):
+        """Labels cycle 0..ndof-1 per row (ref: HYPREDRV.h:1160 +
+        IntArrayBuildInterleaved, containers.h:44)."""
+        n = self._require_system().num_rows
+        self.set_dofmap(np.arange(n, dtype=np.int64) % int(num_functions))
+
+    def set_contiguous_dofmap(self, num_functions: int):
+        """Equal contiguous label blocks (ref: HYPREDRV.h:1192 +
+        IntArrayBuildContiguous, containers.h:46)."""
+        n = self._require_system().num_rows
+        ndof = max(1, int(num_functions))
+        self.set_dofmap((np.arange(n, dtype=np.int64) * ndof) // max(1, n))
+
+    def read_dofmap(self, path: str):
+        """ref: HYPREDRV_LinearSystemReadDofmap (include/HYPREDRV.h:1223)."""
+        from .io.ij import read_dofmap_auto
+
+        self.set_dofmap(read_dofmap_auto(path))
+
+    def linear_system_print(self, prefix: str = "IJ.out"):
+        """Dump A/b/x in IJ format (ref: HYPREDRV_LinearSystemPrint,
+        include/HYPREDRV.h:1263)."""
+        from .io.ij import write_matrix_ascii, write_vector_ascii
+
+        sys_ = self._require_system()
+        A = sys_.A_host if sys_.A_host is not None else sys_.A.to_csr()
+        write_matrix_ascii(f"{prefix}.A", A)
+        write_vector_ascii(f"{prefix}.b", np.asarray(sys_.b))
+        write_vector_ascii(f"{prefix}.x", np.asarray(sys_.x))
+
+    def print_dofmap(self, path: str):
+        """ref: HYPREDRV_LinearSystemPrintDofmap (include/HYPREDRV.h)."""
+        from .io.ij import write_dofmap_ascii
+
+        sys_ = self._require_system()
+        if sys_.dofmap is None:
+            raise HypredrvError("no dofmap set", ErrorCode.UNKNOWN_OBJ)
+        write_dofmap_ascii(path, sys_.dofmap)
+
+    def get_rhs_values(self) -> np.ndarray:
+        """ref: HYPREDRV_LinearSystemGetRHSValues (HYPREDRV.h:1369-1518)."""
+        return np.asarray(self._require_system().b)
+
+    def get_solution_length(self) -> int:
+        return int(self._require_system().num_rows)
+
+    def get_solution_norm(self) -> float:
+        x = np.asarray(self._require_system().x)
+        return float(np.linalg.norm(x))
+
+    def compute_eigenspectrum(self):
+        """ref: HYPREDRV_LinearSystemComputeEigenspectrum (HYPREDRV.h:2109)."""
+        from .linsys.eigspec import compute_eigenspectrum
+
+        sys_ = self._require_system()
+        eig_cfg = self.args.linear_system.eigspec
+        precon = self.precon if (eig_cfg.preconditioned and self.precon
+                                 and self.precon.is_setup) else None
+        return compute_eigenspectrum(sys_, eig_cfg, precon=precon)
+
+    def precon_setup(self):
+        """Set up the preconditioner outside the solver path
+        (ref: HYPREDRV_PreconSetup, include/HYPREDRV.h:1771)."""
+        if self.precon is None:
+            raise HypredrvError("preconditioner not created",
+                                ErrorCode.UNKNOWN_OBJ)
+        if not self.precon.is_setup:
+            self.precon.setup(self._require_system())
+            self._precon_is_setup = True
+
+    def precon_apply(self, values) -> np.ndarray:
+        """z = M⁻¹ r (ref: HYPREDRV_PreconApply, include/HYPREDRV.h:1852)."""
+        import jax.numpy as jnp
+
+        self.precon_setup()
+        r = jnp.asarray(np.asarray(values), self._require_system().dtype)
+        fn, state = self.precon.operator()
+        return np.asarray(fn(state, r)) if fn is not None else np.asarray(r)
+
+    def print_lib_info(self):
+        """ref: HYPREDRV_PrintLibInfo (include/HYPREDRV.h:311)."""
+        from .core.info import library_banner
+        import time as _time
+
+        print(f"Date and time: {_time.strftime('%Y-%m-%d %H:%M:%S')}\n")
+        print(f"Using {library_banner()}\n")
+
+    def print_system_info(self):
+        """ref: HYPREDRV_PrintSystemInfo (include/HYPREDRV.h:333)."""
+        from .core.info import system_info
+
+        print(system_info())
+
+    def print_exit_info(self):
+        """ref: HYPREDRV_PrintExitInfo (include/HYPREDRV.h:358)."""
+        import time as _time
+
+        print(f"\nDate and time: {_time.strftime('%Y-%m-%d %H:%M:%S')}")
+        print(f"{self.name or 'hypredrive-tpu'} done!")
 
     # -- internal ------------------------------------------------------------
 

@@ -249,15 +249,21 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
             ambient = jax.config.jax_default_device
             target = ambient if ambient is not None else jax.devices()[0]
             with jax.default_device(cpu0):
+                # per-level async device_put: each finished level ships
+                # while the host builds the next one — the transfer
+                # rides under the graph work instead of after it
                 state = _setup_hierarchy_impl(
-                    A_host, amg_args, dtype, dof_func, interp_vectors, None)
-            return jax.device_put(state, target)
+                    A_host, amg_args, dtype, dof_func, interp_vectors,
+                    None, xfer=lambda t: jax.device_put(t, target))
+            return state
     return _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
                                  interp_vectors, mesh)
 
 
 def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
-                          interp_vectors, mesh) -> AMGState:
+                          interp_vectors, mesh, xfer=None) -> AMGState:
+    if xfer is None:
+        xfer = lambda t: t
     csn = amg_args.coarsening
     itp = amg_args.interpolation
     rlx = amg_args.relaxation
@@ -414,7 +420,7 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
                 up_k = up_kind
                 up_sm = _smoother_arrays(up_kind, A_l, E, rlx.chebyshev,
                                          weight, fmask)
-            levels.append(AMGLevel(
+            levels.append(xfer(AMGLevel(
                 A=E,
                 P=EllMatrix.from_csr(P, dtype=dtype),
                 R=EllMatrix.from_csr(R, dtype=dtype),
@@ -423,7 +429,7 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
                 pre_sweeps=pre if lvl_kind != "fsai" else smoother_sweeps,
                 post_sweeps=post if lvl_kind != "fsai" else smoother_sweeps,
                 up_smoother=up_k, up_arrays=up_sm,
-            ))
+            )))
         if func_l is not None:
             func_l = func_l[cf > 0]
         if V_l is not None:
@@ -447,16 +453,16 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
         E_c = EllMatrix.from_csr(A_l, dtype=dtype)
         sm_c = _smoother_arrays(kind, A_l, E_c, rlx.chebyshev, weight)
         dense = np.asarray(A_l.todense(), dtype=np.float64)
-    levels.append(AMGLevel(
+    levels.append(xfer(AMGLevel(
         A=E_c, P=None, R=None,
         smooth_arrays=sm_c,
         smoother=kind, pre_sweeps=pre, post_sweeps=post,
-    ))
+    )))
     try:
         inv = np.linalg.inv(dense)
     except np.linalg.LinAlgError:
         inv = np.linalg.pinv(dense)
-    coarse_inv = jnp.asarray(inv, dtype=dtype)
+    coarse_inv = xfer(jnp.asarray(inv, dtype=dtype))
 
     return AMGState(
         levels=tuple(levels),

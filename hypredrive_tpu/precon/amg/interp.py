@@ -69,8 +69,10 @@ def direct_interpolation(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
     no_pos = c_pos == 0
     dF = dF + np.where(no_pos, full_pos[F], 0.0)
 
-    scale_neg = np.where(c_neg != 0, full_neg[F] / c_neg, 0.0)
-    scale_pos = np.where(c_pos != 0, full_pos[F] / c_pos, 0.0)
+    scale_neg = np.divide(full_neg[F], c_neg, out=np.zeros(nF),
+                          where=c_neg != 0)
+    scale_pos = np.divide(full_pos[F], c_pos, out=np.zeros(nF),
+                          where=c_pos != 0)
 
     w = np.where(fc.data < 0, fc.data * scale_neg[fc.row],
                  fc.data * scale_pos[fc.row])

@@ -41,13 +41,17 @@ def apply_component(kind: str, state, r):
 
         return amg_apply(state, r)
     if kind == "ilu":
-        from .ilu import _tri_jacobi_apply
+        from .ilu import _ilu_apply
 
-        return _tri_jacobi_apply(state, r)
+        return _ilu_apply(state, r)
     if kind == "fsai":
         from .fsai import _fsai_apply
 
         return _fsai_apply(state, r)
+    if kind == "schwarz":
+        from .schwarz import _schwarz_apply
+
+        return _schwarz_apply(state, r)
     if kind == "dense":
         return state @ r
     if kind == "krylov":
@@ -114,6 +118,19 @@ def build_component(kind_config, A_host: sp.csr_matrix, dtype,
         return ("fsai", build_fsai(A_host, max_nnz_row=max(1, budget),
                                    threshold=float(args.threshold),
                                    dtype=dtype))
+    if name == "schwarz":
+        from .schwarz import build_schwarz
+        from ..config.sections import SCHWARZ_SCHEMA
+
+        errors = []
+        args = SCHWARZ_SCHEMA.parse(sub or {}, "schwarz", errors)
+        # ras-* variants = restricted additive Schwarz
+        # (ref vocab: schwarz.c:44-70; 10/20/30/40 = ras-iluk/ilut/amg/
+        # spdirect, 11/21/31/41 = additive)
+        return ("schwarz", build_schwarz(
+            A_host, overlap=max(0, int(args.overlap)),
+            restricted=int(args.variant) in (10, 20, 30, 40),
+            relax_weight=float(args.relax_weight), dtype=dtype))
     if name in ("spdirect", "ge", "ge-piv", "ge-inv", "lu_piv", "lu_inv"):
         dense = np.asarray(A_host.todense(), dtype=np.float64)
         try:

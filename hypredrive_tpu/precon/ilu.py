@@ -107,11 +107,168 @@ def _tri_jacobi_apply(state, r):
     return y
 
 
+@jax.tree_util.register_pytree_node_class
+class SchurILUState:
+    """Two-level GMRES-Schur ILU (ref: ilu.c gmres-iluk/gmres-ilut,
+    hypre ILU types 10/11): interior dofs eliminated with block ILU,
+    the interface Schur complement S = C − E B⁻¹ F solved matrix-free
+    with a fixed-budget inner GMRES preconditioned by ILU(C)."""
+
+    def __init__(self, int_idx, if_idx, b_state, c_state, E, F, C,
+                 schur_max_iter, n):
+        self.int_idx = int_idx
+        self.if_idx = if_idx
+        self.b_state = b_state      # ILU factors of B = A[int, int]
+        self.c_state = c_state      # ILU factors of C = A[if, if]
+        self.E = E                  # A[if, int]
+        self.F = F                  # A[int, if]
+        self.C = C                  # A[if, if] operator
+        self.schur_max_iter = schur_max_iter  # static
+        self.n = n                  # static
+
+    def tree_flatten(self):
+        return ((self.int_idx, self.if_idx, self.b_state, self.c_state,
+                 self.E, self.F, self.C),
+                (self.schur_max_iter, self.n))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def _schur_apply(state: SchurILUState, r):
+    """z = M⁻¹r for the two-level factorization
+        M = [B 0; E S][I B⁻¹F; 0 I],  S ≈ C − E B⁻¹ F  (GMRES inner)."""
+    from ..solvers.gmres import _gmres_core
+
+    r_int = r[state.int_idx]
+    r_if = r[state.if_idx]
+
+    b_inv = lambda v: _tri_jacobi_apply(state.b_state, v)
+    z0 = b_inv(r_int)
+    rs = r_if - state.E.matvec(z0)
+
+    def s_mv(v):
+        return state.C.matvec(v) - state.E.matvec(b_inv(state.F.matvec(v)))
+
+    c_inv = lambda v: _tri_jacobi_apply(state.c_state, v)
+    m = state.schur_max_iter
+    z_if, *_ = _gmres_core(s_mv, c_inv, rs, jnp.zeros_like(rs),
+                           jnp.asarray(0.0, r.dtype),
+                           jnp.asarray(0.0, r.dtype), m, m, True)
+    z_int = z0 - b_inv(state.F.matvec(z_if))
+    z = jnp.zeros_like(r)
+    z = z.at[state.int_idx].set(z_int)
+    z = z.at[state.if_idx].set(z_if)
+    return z
+
+
+def _ilu_apply(state, r):
+    """Static dispatch on the ILU state family."""
+    if isinstance(state, SchurILUState):
+        return _schur_apply(state, r)
+    if isinstance(state, tuple) and len(state) == 4:
+        # RAS-ILU → Schwarz state (ref: ilu.c ras-iluk/ras-ilut)
+        from .schwarz import _schwarz_apply
+
+        return _schwarz_apply(state, r)
+    return _tri_jacobi_apply(state, r)
+
+
+def _build_schur_state(A_host: sp.csr_matrix, args, dtype,
+                       n_blocks: int = 0):
+    """Interior/interface split by contiguous row blocks (the TPU-native
+    analogue of hypre's per-rank boundary split; ref: ilu.c GMRES-Schur).
+    """
+    A = sp.csr_matrix(A_host)
+    A.sort_indices()
+    n = A.shape[0]
+    if n_blocks <= 0:
+        n_blocks = max(2, min(16, n // 512))
+    blk = (np.arange(n, dtype=np.int64) * n_blocks) // n
+    col_blk = blk[A.indices]
+    rows = np.repeat(np.arange(n), np.diff(A.indptr))
+    cross = col_blk != blk[rows]
+    is_if = np.zeros(n, bool)
+    is_if[np.unique(rows[cross])] = True
+    is_if[np.unique(A.indices[cross])] = True
+    if_rows = np.flatnonzero(is_if)
+    int_rows = np.flatnonzero(~is_if)
+    if len(if_rows) == 0 or len(int_rows) == 0:
+        return None     # degenerate split → plain ILU
+
+    B = sp.csr_matrix(A[int_rows][:, int_rows])
+    E = sp.csr_matrix(A[if_rows][:, int_rows])
+    F = sp.csr_matrix(A[int_rows][:, if_rows])
+    C = sp.csr_matrix(A[if_rows][:, if_rows])
+    b_state = _factor_to_state(B, args, dtype)
+    c_state = _factor_to_state(C, args, dtype)
+    return SchurILUState(
+        int_idx=jnp.asarray(int_rows, jnp.int32),
+        if_idx=jnp.asarray(if_rows, jnp.int32),
+        b_state=b_state, c_state=c_state,
+        E=EllMatrix.from_csr(E, dtype=dtype),
+        F=EllMatrix.from_csr(F, dtype=dtype),
+        C=EllMatrix.from_csr(C, dtype=dtype),
+        schur_max_iter=max(1, int(args.get("schur_max_iter", 5))),
+        n=n)
+
+
+def _factor_to_state(A_host: sp.csr_matrix, args, dtype):
+    """(L, U, dinvs, iters) tri-solve state for one ILU factorization."""
+    itype = int(args.get("type", 0))
+    fill = int(args.get("fill_level", 0))
+    droptol = float(args.get("droptol", 1e-2))
+    if itype in (1, 11, 21, 31, 41) or fill > 0:
+        import scipy.sparse.linalg as spla
+
+        lu = spla.spilu(sp.csc_matrix(A_host),
+                        drop_tol=droptol if itype % 10 == 1 else 1e-12,
+                        fill_factor=max(1.0, 1.0 + fill * 2.0),
+                        permc_spec="NATURAL",
+                        diag_pivot_thresh=0.0)
+        L = sp.csr_matrix(lu.L)
+        U = sp.csr_matrix(lu.U)
+    else:
+        L, U = ilu0_factor(A_host)
+    u_diag = U.diagonal()
+    u_dinv = jnp.asarray(
+        np.where(u_diag != 0, 1.0 / u_diag, 1.0), dtype=dtype)
+    l_dinv = jnp.ones(A_host.shape[0], dtype=dtype)
+    Ls = sp.csr_matrix(sp.tril(L, k=-1))
+    Us = sp.csr_matrix(U)
+    tri_solve = bool(args.get("tri_solve", True))
+    l_iters = int(args.get("lower_jac_iters", 5))
+    u_iters = int(args.get("upper_jac_iters", 5))
+    if tri_solve:
+        l_iters = max(l_iters, 10)
+        u_iters = max(u_iters, 10)
+    return (
+        EllMatrix.from_csr(Ls, dtype=dtype),
+        EllMatrix.from_csr(Us, dtype=dtype),
+        l_dinv, u_dinv,
+        jnp.int32(max(1, l_iters)), jnp.int32(max(1, u_iters)),
+    )
+
+
 def build_ilu_state(A_host: sp.csr_matrix, args, dtype):
     """Factor on host → device apply state (shared with MGR components)."""
     itype = int(args.get("type", 0))
     fill = int(args.get("fill_level", 0))
     droptol = float(args.get("droptol", 1e-2))
+
+    if itype in (10, 11, 40, 41):
+        # gmres-iluk/gmres-ilut (+ ddpq variants): two-level Schur ILU
+        st = _build_schur_state(A_host, args, dtype)
+        if st is not None:
+            return st
+    if itype in (30, 31):
+        # ras-iluk/ras-ilut: restricted additive Schwarz with local
+        # (dense-equivalent) factorizations (ref: ilu.c:42-57)
+        from .schwarz import build_schwarz
+
+        return build_schwarz(A_host, overlap=1, restricted=True,
+                             dtype=dtype)
 
     if itype in (1, 11, 21, 31, 41) or fill > 0:
         # ILUT/ILU(k>0) via SuperLU ILUTP, natural ordering
@@ -153,7 +310,7 @@ def build_ilu_state(A_host: sp.csr_matrix, args, dtype):
 
 class ILUPrecon(Preconditioner):
     method = "ilu"
-    apply_fn = staticmethod(_tri_jacobi_apply)
+    apply_fn = staticmethod(_ilu_apply)
 
     def setup(self, system):
         A_host = system.M_host if system.M_host is not None else system.A_host

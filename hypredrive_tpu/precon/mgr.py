@@ -24,8 +24,12 @@ transfer construction, coarse SpGEMM, recursive component setup.
 Apply (device): one jitted cycle; the F-space gathers/scatters and the
 component applies fuse into a single XLA program.
 
-Not yet reproduced (later round): AIR restrictions, true block-Jacobi
-transfers (diagonal approximation used), Schwarz components.
+This round's additions: AIR restrictions (air_1/air_1.5 via the lAIR
+batched local solves, ref mgr.c:1671-1680), true block-Jacobi/cpr-like
+transfers (batched dense block inverse, ref mgr.c blk-jacobi), Schwarz
+components (precon/components.py), and per-component reuse with keep
+flags (ref: MGRComponentReuse_args, include/internal/mgr.h:43-50 +
+hypredrv_MGRRefreshComponentsForSetup).
 """
 
 from __future__ import annotations
@@ -174,9 +178,39 @@ def _resolve_f_dofs(f_dofs, dof_labels: dict) -> List[int]:
     return out
 
 
+def _block_diag_inv(A_ff: sp.csr_matrix, bsize: int) -> sp.spmatrix:
+    """Block-diagonal inverse of A_ff with bsize×bsize blocks along the
+    diagonal (ref: hypre MGR block-Jacobi transfers; assumes the
+    interleaved dof ordering the reference assumes, so a cell's F dofs
+    are consecutive in the F submatrix)."""
+    nF = A_ff.shape[0]
+    if bsize <= 1 or nF % bsize != 0:
+        diag_ff = A_ff.diagonal()
+        return sp.diags(np.where(diag_ff != 0, 1.0 / diag_ff, 0.0))
+    from .amg.air import _csr_fetch
+
+    nb = nF // bsize
+    base = np.arange(nb)[:, None, None] * bsize
+    r = base + np.arange(bsize)[None, :, None]
+    c = base + np.arange(bsize)[None, None, :]
+    blocks = _csr_fetch(A_ff, np.broadcast_to(r, (nb, bsize, bsize)),
+                        np.broadcast_to(c, (nb, bsize, bsize)))
+    try:
+        inv = np.linalg.inv(blocks)
+    except np.linalg.LinAlgError:
+        inv = np.linalg.pinv(blocks)
+    inv = np.where(np.isfinite(inv), inv, 0.0)
+    return sp.bsr_matrix((inv, np.arange(nb), np.arange(nb + 1)),
+                         shape=(nF, nF)).tocsr()
+
+
 def _build_transfers(A_ff, A_fc, A_cf, A_cc, p_type: int, r_type: int,
-                     nF: int, nC: int):
-    """W_p: (nF, nC) prolongation weights; W_r: (nC, nF) restriction."""
+                     nF: int, nC: int, bsize: int = 1):
+    """W_p: (nF, nC) prolongation weights; W_r: (nC, nF) restriction.
+
+    AIR restrictions (r_type 4/5) are handled by the caller on the full
+    operator (they need the global stencil); everything else is local to
+    the blocks."""
     diag_ff = A_ff.diagonal()
     dinv = np.where(diag_ff != 0, 1.0 / diag_ff, 0.0)
 
@@ -188,6 +222,10 @@ def _build_transfers(A_ff, A_fc, A_cf, A_cc, p_type: int, r_type: int,
         l1 = np.asarray(np.abs(A_ff).sum(axis=1)).ravel()
         d = np.where(l1 != 0, 1.0 / l1, 0.0)
         W_p = -sp.diags(d) @ A_fc
+    elif p_type == 12:
+        # true block-Jacobi: −inv(blkdiag(A_ff))·A_fc (ref: mgr.c
+        # blk-jacobi prolongation, bsize = #F functions per cell)
+        W_p = -_block_diag_inv(A_ff, bsize) @ A_fc
     elif p_type in (13,):
         rs = np.asarray(A_ff.sum(axis=1)).ravel()
         d = np.where(rs != 0, 1.0 / rs, 0.0)
@@ -196,19 +234,26 @@ def _build_transfers(A_ff, A_fc, A_cf, A_cc, p_type: int, r_type: int,
         rs = np.asarray(np.abs(A_ff).sum(axis=1)).ravel()
         d = np.where(rs != 0, 1.0 / rs, 0.0)
         W_p = -sp.diags(d) @ A_fc
-    else:  # jacobi family (2,3,4,12 → diagonal approximation)
+    else:  # jacobi family (2,3,4 → diagonal approximation)
         W_p = -sp.diags(dinv) @ A_fc
 
     # restriction (injection=0 jacobi=2 approx-inv=3 air=4/5 blk=12
     # cpr-like=13 columped=14 columped-partial=15)
     if r_type == 0:
         W_r = sp.csr_matrix((nC, nF))
+    elif r_type == 12:
+        # true block-Jacobi restriction: −A_cf·inv(blkdiag(A_ff))
+        W_r = -A_cf @ _block_diag_inv(A_ff, bsize)
+    elif r_type == 13 and bsize > 1:
+        # cpr-like: quasi-IMPES row-sum lumping within the cell block
+        # (ref: mgr.c cpr-like restriction)
+        W_r = -A_cf @ _block_diag_inv(A_ff, bsize)
     elif r_type in (14, 15):
         # column-lumped: D = diag(colsum(A_ff))
         cs = np.asarray(A_ff.sum(axis=0)).ravel()
         d = np.where(cs != 0, 1.0 / cs, 0.0)
         W_r = -A_cf @ sp.diags(d)
-    else:  # jacobi/cpr-like/approx-inv → diagonal
+    else:  # jacobi/approx-inv → diagonal
         W_r = -A_cf @ sp.diags(dinv)
 
     return sp.csr_matrix(W_p), sp.csr_matrix(W_r)
@@ -234,8 +279,53 @@ def _assemble_R(W_r, f_rows, c_rows, n, nC):
     return R
 
 
+def _truthy(v) -> bool:
+    if isinstance(v, str):
+        return v.strip().lower() in ("on", "yes", "true", "1")
+    return bool(v)
+
+
+def _component_reuse_keep(reuse_cfg, setup_index: int) -> bool:
+    """Static component-reuse policy (ref: MGRComponentReuseShouldKeep,
+    src/internal/mgr.c:2293): keep the cached component unless this
+    setup falls on a rebuild boundary."""
+    if not reuse_cfg or not _truthy(reuse_cfg.get("enabled", False)):
+        return False
+    if setup_index == 0:
+        return False
+    freq = int(reuse_cfg.get("frequency", 0) or 0)
+    if _truthy(reuse_cfg.get("always", freq == 0)):
+        return True
+    return setup_index % max(1, freq) != 0
+
+
+def _component_with_reuse(cfg_value, A_sub, dtype, dofmap, cache, key,
+                          setup_index):
+    """build_component with an optional per-component ``reuse:`` block
+    (ref: MGRComponentReuse_args, include/internal/mgr.h:43-50,83-85,
+    109-111): a kept component skips its entire setup (the ex7-class
+    win — a cached F-relax AMG hierarchy survives value changes)."""
+    reuse_cfg = None
+    cfgv = cfg_value
+    if isinstance(cfgv, dict) and "reuse" in cfgv:
+        cfgv = dict(cfgv)
+        reuse_cfg = cfgv.pop("reuse") or {}
+        if len(cfgv) == 1 and next(iter(cfgv)) in ("type",):
+            cfgv = cfgv["type"]
+    sig = (A_sub.shape[0], A_sub.nnz)
+    if cache is not None and _component_reuse_keep(reuse_cfg, setup_index):
+        ent = cache.get(key)
+        if ent is not None and ent[2] == sig:
+            return ent[0], ent[1]
+    kind, state = build_component(cfgv, A_sub, dtype, dofmap=dofmap)
+    if cache is not None and reuse_cfg is not None:
+        cache[key] = (kind, state, sig)
+    return kind, state
+
+
 def setup_mgr(A_host: sp.csr_matrix, args, dofmap: Optional[np.ndarray],
-              dtype=jnp.float64, dof_labels: Optional[dict] = None
+              dtype=jnp.float64, dof_labels: Optional[dict] = None,
+              component_cache: Optional[dict] = None, setup_index: int = 0
               ) -> MGRState:
     if dofmap is None:
         raise HypredrvError("MGR requires a dofmap (per-row dof labels)",
@@ -289,10 +379,26 @@ def setup_mgr(A_host: sp.csr_matrix, args, dofmap: Optional[np.ndarray],
 
         p_type = int(cfg.prolongation_type)
         r_type = int(cfg.restriction_type)
+        # block size for blk-jacobi/cpr-like transfers: the number of
+        # distinct F labels per cell (interleaved dof ordering)
+        bsize = len(set(f_labels))
+        if nF % max(1, bsize) != 0:
+            bsize = 1
         W_p, W_r = _build_transfers(A_ff, A_fc, A_cf, A_cc, p_type, r_type,
-                                    nF, nC)
+                                    nF, nC, bsize)
         P = _assemble_P(W_p, f_rows, c_rows, n, nC)
-        R = _assemble_R(W_r, f_rows, c_rows, n, nC)
+        if r_type in (4, 5):
+            # approximate ideal restriction on the full level operator
+            # (ref vocab: mgr.c:1671-1680 air_1/air_1.5); reuses the AMG
+            # lAIR batched local solves (precon/amg/air.py)
+            from .amg.air import lair_restriction
+
+            cf_vec = np.ones(n, dtype=np.int64)
+            cf_vec[f_rows] = -1
+            R = lair_restriction(A_l, cf_vec, strong_th=0.25,
+                                 distance=1 if r_type == 4 else 2)
+        else:
+            R = _assemble_R(W_r, f_rows, c_rows, n, nC)
 
         # coarse operator (ref vocab: rap=0 non-galerkin=1 cpr-like-diag=2)
         ctype = int(cfg.coarse_level_type)
@@ -308,12 +414,15 @@ def setup_mgr(A_host: sp.csr_matrix, args, dofmap: Optional[np.ndarray],
             A_c.eliminate_zeros()
         A_c.sort_indices()
 
-        # components
+        # components (per-component reuse: a `reuse:` block beside the
+        # method key keeps the cached solver across setups)
         f_labels_sub = labels[f_rows]
-        f_kind, f_state = build_component(cfg.f_relaxation, A_ff, dtype,
-                                          dofmap=f_labels_sub)
-        g_kind, g_state = build_component(cfg.g_relaxation, A_l, dtype,
-                                          dofmap=labels)
+        f_kind, f_state = _component_with_reuse(
+            cfg.f_relaxation, A_ff, dtype, f_labels_sub,
+            component_cache, ("lvl", li, "f"), setup_index)
+        g_kind, g_state = _component_with_reuse(
+            cfg.g_relaxation, A_l, dtype, labels,
+            component_cache, ("lvl", li, "g"), setup_index)
 
         levels.append(MGRLevel(
             A=EllMatrix.from_csr(A_l, dtype=dtype),
@@ -333,8 +442,9 @@ def setup_mgr(A_host: sp.csr_matrix, args, dofmap: Optional[np.ndarray],
     cls_cfg = args.get("coarsest_level", "def")
     if isinstance(cls_cfg, str) and cls_cfg.strip().lower() in ("def", ""):
         cls_cfg = "amg"
-    coarsest_kind, coarsest_state = build_component(
-        cls_cfg, A_l, dtype, dofmap=labels)
+    coarsest_kind, coarsest_state = _component_with_reuse(
+        cls_cfg, A_l, dtype, labels, component_cache, ("coarsest",),
+        setup_index)
 
     return MGRState(
         levels=tuple(levels),
@@ -388,8 +498,14 @@ class MGRPrecon(Preconditioner):
         A_host = system.M_host if system.M_host is not None else system.A_host
         if A_host is None:
             A_host = system.A.to_csr()
+        if not hasattr(self, "_component_cache"):
+            self._component_cache = {}
+            self._setup_count = 0
         self.state = setup_mgr(
             A_host, self.args, system.dofmap, dtype=system.dtype,
-            dof_labels=getattr(system, "dof_labels", None))
+            dof_labels=getattr(system, "dof_labels", None),
+            component_cache=self._component_cache,
+            setup_index=self._setup_count)
+        self._setup_count += 1
         log(2, mgr_summary(self.state))
         self.is_setup = True

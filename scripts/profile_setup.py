@@ -92,7 +92,7 @@ def main():
                               coo.col.astype(np.int64), coo.data,
                               M.shape[0], M.shape[1])
             npass, fill = plan_stats(plan)
-            b = plan.sub.nbytes + plan.lane.nbytes + plan.val.nbytes
+            b = plan.q0.nbytes + plan.lane.nbytes + plan.val.nbytes
             plan_bytes += b
             if i < 3 or name == "A":
                 print(f"  lvl {i} {name}: nnz={Mc.nnz} passes={npass} "

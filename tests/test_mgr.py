@@ -167,3 +167,98 @@ def test_schwarz_on_laplacian():
         assert np.linalg.norm(r) / np.sqrt(512) < 1e-7
     finally:
         drv.destroy()
+
+
+def test_mgr_air_restriction():
+    """restriction_type air_1/air_1.5 build lAIR restrictions on the
+    level operator (ref vocab: mgr.c:1671-1680)."""
+    for rt in ("air_1", "air_1.5"):
+        res, true_rel = _run({"mgr": {
+            "level": {0: {"f_dofs": [2], "restriction_type": rt}},
+            "coarsest_level": "amg",
+        }})
+        assert res.converged, rt
+        assert true_rel < 1e-4
+
+
+def test_mgr_blk_jacobi_transfers():
+    """blk-jacobi prolongation/restriction use the true block-diagonal
+    inverse (bsize = #F labels per cell; ref: mgr.c blk-jacobi)."""
+    res, true_rel = _run({"mgr": {
+        "level": {0: {"f_dofs": [1, 2],
+                      "prolongation_type": "blk-jacobi",
+                      "restriction_type": "blk-jacobi"}},
+        "coarsest_level": "amg",
+    }})
+    assert res.converged
+    assert true_rel < 1e-4
+
+
+def test_mgr_block_diag_inv_exact():
+    import scipy.sparse as sp
+    from hypredrive_tpu.precon.mgr import _block_diag_inv
+
+    rng = np.random.default_rng(3)
+    bs, nb = 3, 5
+    blocks = rng.standard_normal((nb, bs, bs)) + 4 * np.eye(bs)
+    A = sp.block_diag([b for b in blocks], format="csr")
+    # add sparse noise; entries OUTSIDE the block diagonal are ignored
+    A = sp.csr_matrix(
+        A + sp.random(nb * bs, nb * bs, density=0.05, random_state=1))
+    dense = A.toarray()
+    got = _block_diag_inv(A, bs).toarray()
+    for k in range(nb):
+        blk = dense[k * bs:(k + 1) * bs, k * bs:(k + 1) * bs]
+        np.testing.assert_allclose(
+            got[k * bs:(k + 1) * bs, k * bs:(k + 1) * bs],
+            np.linalg.inv(blk), rtol=1e-9)
+    # and nothing off the block diagonal
+    mask = np.ones((nb * bs, nb * bs), bool)
+    for k in range(nb):
+        mask[k * bs:(k + 1) * bs, k * bs:(k + 1) * bs] = False
+    assert np.all(got[mask] == 0)
+
+
+def test_mgr_schwarz_component():
+    """Schwarz as an MGR F-relaxation / global-relaxation component
+    (ref: mgr.c:68-365 Schwarz wrappers)."""
+    res, true_rel = _run({"mgr": {
+        "level": {0: {"f_dofs": [2],
+                      "f_relaxation": {"schwarz": {"variant": "ras-iluk",
+                                                   "overlap": 1}}}},
+        "coarsest_level": "amg",
+    }})
+    assert res.converged
+    assert true_rel < 1e-4
+
+
+def test_mgr_component_reuse_keeps_cached_solver():
+    """A `reuse:` block beside the component method keeps the cached
+    component across setups (ref: MGRComponentReuse_args,
+    include/internal/mgr.h:43-50)."""
+    from hypredrive_tpu.precon.mgr import setup_mgr
+    from hypredrive_tpu.ops.csr import multiphysics_block_system
+
+    A, dofmap = multiphysics_block_system(100, 3, seed=7)
+    args = {
+        "level": {0: {"f_dofs": [2],
+                      "f_relaxation": {"amg": {"max_iter": 1},
+                                       "reuse": {"enabled": True}}}},
+        "coarsest_level": "amg",
+    }
+    cache = {}
+    s0 = setup_mgr(A, args, dofmap, component_cache=cache, setup_index=0)
+    assert ("lvl", 0, "f") in cache
+    kept_state = cache[("lvl", 0, "f")][1]
+    s1 = setup_mgr(A, args, dofmap, component_cache=cache, setup_index=1)
+    # identical object ⇒ the F component setup was skipped
+    assert s1.levels[0].f_state is kept_state
+    # without the reuse block a fresh component is built each time
+    args2 = {
+        "level": {0: {"f_dofs": [2], "f_relaxation": {"amg": {"max_iter": 1}}}},
+        "coarsest_level": "amg",
+    }
+    cache2 = {}
+    s2 = setup_mgr(A, args2, dofmap, component_cache=cache2, setup_index=0)
+    s3 = setup_mgr(A, args2, dofmap, component_cache=cache2, setup_index=1)
+    assert s3.levels[0].f_state is not s2.levels[0].f_state

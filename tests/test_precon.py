@@ -174,3 +174,52 @@ def test_precon_reuse_static():
         assert all(e.iters > 0 for e in drv.stats.entries)
     finally:
         drv.destroy()
+
+
+def test_ilu_gmres_schur_variant():
+    """gmres-iluk: two-level Schur-complement ILU with inner GMRES on the
+    interface system (ref: ilu.c:42-57 types 10/11).  Must beat plain
+    bj-iluk in iterations on a nonsymmetric system."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hypredrive_tpu.ops.csr import convection_diffusion_2d
+    from hypredrive_tpu.precon.ilu import (build_ilu_state, _ilu_apply,
+                                           SchurILUState)
+    from hypredrive_tpu.solvers.gmres import _gmres_core
+    from hypredrive_tpu.ops.device_matrix import EllMatrix
+
+    A = convection_diffusion_2d(40, eps=0.01)
+    n = A.shape[0]
+    E = EllMatrix.from_csr(A, dtype=jnp.float64)
+    b = jnp.ones(n, jnp.float64)
+
+    def run(itype):
+        st = build_ilu_state(A, {"type": itype, "schur_max_iter": 10}, jnp.float64)
+        pc = lambda v: _ilu_apply(st, v)
+        mv = lambda v: E.matvec(v)
+        x, iters, *_ = _gmres_core(mv, pc, b, jnp.zeros_like(b),
+                                   jnp.asarray(1e-8), jnp.asarray(0.0),
+                                   200, 50, True)
+        r = np.ones(n) - A @ np.asarray(x)
+        return int(iters), np.linalg.norm(r) / np.linalg.norm(np.ones(n)), st
+
+    it_bj, rel_bj, _ = run(0)           # bj-ilu0
+    it_sch, rel_sch, st = run(10)       # gmres-iluk
+    assert isinstance(st, SchurILUState)
+    # left-preconditioned GMRES: convergence is in the M-norm, so the
+    # true-residual floors differ between preconditioners — assert the
+    # solve is accurate and the Schur variant needs FEWER iterations
+    assert rel_sch < 1e-4
+    assert it_sch < it_bj
+
+
+def test_ilu_ras_variant_maps_to_schwarz():
+    import numpy as np
+    import jax.numpy as jnp
+    from hypredrive_tpu.ops.csr import laplacian_2d_5pt
+    from hypredrive_tpu.precon.ilu import build_ilu_state, _ilu_apply
+
+    A = laplacian_2d_5pt(20)
+    st = build_ilu_state(A, {"type": 30}, jnp.float64)
+    z = np.asarray(_ilu_apply(st, jnp.ones(A.shape[0], jnp.float64)))
+    assert np.all(np.isfinite(z)) and np.abs(z).max() > 0
