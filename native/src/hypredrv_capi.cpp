@@ -222,17 +222,24 @@ uint32_t HYPREDRV_Initialize(void) {
 }
 
 uint32_t HYPREDRV_Finalize(void) {
-  GIL gil;
-  for (auto &kv : g_handles) {
-    PyObject *r = PyObject_CallMethod(kv.second, "destroy", nullptr);
-    Py_XDECREF(r);
-    PyErr_Clear();
-    Py_DECREF(kv.second);
+  {
+    // Scope the GIL guard so its PyGILState_Release runs while the
+    // interpreter is still alive; Py_Finalize below destroys the GIL.
+    GIL gil;
+    for (auto &kv : g_handles) {
+      PyObject *r = PyObject_CallMethod(kv.second, "destroy", nullptr);
+      Py_XDECREF(r);
+      PyErr_Clear();
+      Py_DECREF(kv.second);
+    }
+    g_handles.clear();
+    Py_XDECREF(g_module);
+    g_module = nullptr;
   }
-  g_handles.clear();
-  Py_XDECREF(g_module);
-  g_module = nullptr;
-  if (g_we_initialized) {
+  if (g_we_initialized && Py_IsInitialized()) {
+    // Py_Finalize must run with the GIL held; the matching release never
+    // happens because the interpreter (and its GIL) cease to exist.
+    PyGILState_Ensure();
     Py_Finalize();
     g_we_initialized = false;
   }

