@@ -108,11 +108,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.hdrv_plan_np.argtypes = [ctypes.c_void_p]
         lib.hdrv_plan_err.restype = ctypes.c_char_p
         lib.hdrv_plan_err.argtypes = [ctypes.c_void_p]
-        lib.hdrv_plan_fill.restype = None
-        lib.hdrv_plan_fill.argtypes = [
+        lib.hdrv_plan_fill_packed.restype = None
+        lib.hdrv_plan_fill_packed.argtypes = [
             ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int8),
             ctypes.c_void_p, ctypes.c_int]
         lib.hdrv_plan_end.restype = None
         lib.hdrv_plan_end.argtypes = [ctypes.c_void_p]
@@ -123,10 +124,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
 def build_gather_plan(rows, cols, vals, n_rows, n_cols, n_row_tiles):
     """Native pass planner; returns the arrays of a GatherPlan or None.
 
-    (pass_tile, pass_first, q0, lane, val) — see ops/gather_plan.py for
-    semantics.  Two-phase: the C side sorts and counts, then fills
-    numpy-allocated output buffers exactly once (no intermediate copies;
-    val is produced at the requested width)."""
+    (pass_tile, pass_first, q0, slot, elane, evals) — see
+    ops/gather_plan.py for semantics.  Two-phase: the C side sorts and
+    counts, then fills numpy-allocated output buffers exactly once; the
+    entries come back PACKED (slot-sorted) so no dense tiles are ever
+    materialized on the host."""
     lib = get_lib()
     if lib is None:
         return None
@@ -148,19 +150,21 @@ def build_gather_plan(rows, cols, vals, n_rows, n_cols, n_row_tiles):
             return None        # fall back to the numpy planner
         if NP <= 0:
             return None
+        E = len(rows)
         pt = np.zeros(NP, np.int32)
         pf = np.zeros(NP, np.int32)
         q0 = np.zeros((NP, 8), np.int32)
-        lane = np.zeros((NP, 8, 128), np.int8)
-        val = np.zeros((NP, 8, 128),
-                       np.float32 if want_f32 else np.float64)
+        slot = np.zeros(E, np.int32)
+        elane = np.zeros(E, np.int8)
+        evals = np.zeros(E, np.float32 if want_f32 else np.float64)
         i32p = ctypes.POINTER(ctypes.c_int32)
         i8p = ctypes.POINTER(ctypes.c_int8)
-        lib.hdrv_plan_fill(
+        lib.hdrv_plan_fill_packed(
             h, pt.ctypes.data_as(i32p), pf.ctypes.data_as(i32p),
-            q0.ctypes.data_as(i32p), lane.ctypes.data_as(i8p),
-            val.ctypes.data_as(ctypes.c_void_p), int(want_f32))
-        return pt, pf, q0, lane, val
+            q0.ctypes.data_as(i32p), slot.ctypes.data_as(i32p),
+            elane.ctypes.data_as(i8p),
+            evals.ctypes.data_as(ctypes.c_void_p), int(want_f32))
+        return pt, pf, q0, slot, elane, evals
     finally:
         lib.hdrv_plan_end(h)
 

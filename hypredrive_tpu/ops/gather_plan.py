@@ -23,6 +23,15 @@ tiles).  This planner restructures an arbitrary COO matrix so the kernel
   count per tile = max over its 8 blocks of the block's subgroup count
   (no bin packing, no cross-row conflicts by construction).
 
+Wire format: the plan stores its entries PACKED — per entry a flat
+``slot = pass*1024 + sublane*128 + lanepos`` (int32, sorted), the
+x-lane ``elane`` (int8) and the coefficient ``evals`` — ~9 B/nnz
+instead of dense (NP, 8, 128) tiles.  The dense lane/val tiles the
+kernel consumes are assembled ON DEVICE by one sorted scatter
+(ops/pallas_spmv.py), so a remote-TPU tunnel ships megabytes, not the
+mostly-zero pass tiles.  Dense host tiles remain available as lazy
+properties for the XLA fallback and tests.
+
 The plan is fully static per sparsity pattern (pairs with lsseq pattern
 dedup: one compile per pattern).  Reference counterpart: the CSR SpMV
 inside hypre (hypre_CSRMatrixMatvec) — re-imagined for the TPU memory
@@ -31,8 +40,8 @@ model instead of ported.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Tuple
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -42,27 +51,57 @@ GROUP_MAX = 8             # max passes fused into one kernel grid step
 
 @dataclass
 class GatherPlan:
-    """Static pass schedule for one sparsity pattern."""
+    """Static pass schedule for one sparsity pattern (packed entries)."""
 
     # scalar-prefetch arrays (SMEM)
     pass_tile: np.ndarray   # (NP,) int32 — output tile index
     pass_first: np.ndarray  # (NP,) int32 — 1 if first pass of its tile
     q0: np.ndarray          # (NP, 8) int32 — x-sublane per output sublane
-    # per-pass dense tiles
-    lane: np.ndarray        # (NP, 8, 128) int8 — lane within x-sublane
-                            # (int8 staging halves host->device transfer;
-                            # widened to int32 on device)
-    val: np.ndarray         # (NP, 8, 128) float — coefficient (0 = hole)
+    # packed entries, sorted by slot (one entry per slot by construction)
+    slot: np.ndarray        # (E,) int32 — pass*1024 + sub*128 + lanepos
+    elane: np.ndarray       # (E,) int8  — lane within the x-sublane
+    evals: np.ndarray       # (E,) float — coefficient
     n_rows: int
     n_cols: int
     n_row_tiles: int
     x_sublanes: int         # padded sublane count of the x operand
     group: int = 1          # passes per kernel grid step; every tile's
                             # pass count is a multiple of this
+    _lane_cache: Optional[np.ndarray] = field(
+        default=None, repr=False, compare=False)
+    _val_cache: Optional[np.ndarray] = field(
+        default=None, repr=False, compare=False)
 
     @property
     def num_passes(self) -> int:
         return len(self.pass_tile)
+
+    @property
+    def lane(self) -> np.ndarray:
+        """Dense (NP, 8, 128) int8 lane tiles (lazy; fallback/tests)."""
+        if self._lane_cache is None:
+            lane = np.zeros((self.num_passes, 8, 128), np.int8)
+            lane.reshape(-1)[self.slot] = self.elane
+            self._lane_cache = lane
+        return self._lane_cache
+
+    @property
+    def val(self) -> np.ndarray:
+        """Dense (NP, 8, 128) value tiles (lazy; fallback/tests)."""
+        if self._val_cache is None:
+            val = np.zeros((self.num_passes, 8, 128), self.evals.dtype)
+            val.reshape(-1)[self.slot] = self.evals
+            self._val_cache = val
+        return self._val_cache
+
+    def entry_rows_cols(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(rows, cols) of the packed entries (host, global indices)."""
+        p = self.slot // TILE_ROWS
+        within = self.slot % TILE_ROWS
+        rows = self.pass_tile[p].astype(np.int64) * TILE_ROWS + within
+        cols = (self.q0[p, within // 128].astype(np.int64) * 128
+                + self.elane.astype(np.int64))
+        return rows, cols
 
 
 def build_plan(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
@@ -76,10 +115,11 @@ def build_plan(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     x_sublanes = max(8, ((-(-n_cols // 128) + 7) // 8) * 8)
 
     if len(rows) == 0:
-        z = np.zeros((0, 8, 128))
+        e = np.zeros(0)
         return GatherPlan(np.zeros(0, np.int32), np.zeros(0, np.int32),
-                          np.zeros((0, 8), np.int32), z.astype(np.int8),
-                          z.astype(vals.dtype),
+                          np.zeros((0, 8), np.int32),
+                          e.astype(np.int32), e.astype(np.int8),
+                          e.astype(vals.dtype),
                           n_rows, n_cols, n_row_tiles, x_sublanes)
 
     try:
@@ -157,23 +197,25 @@ def build_plan(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
 
     q0 = np.zeros((NP, 8), np.int32)
     q0[pass_of_sg, sg_blk % 8] = sg_s
-    lane = np.zeros((NP, 8, 128), np.int8)
-    val = np.zeros((NP, 8, 128), vals.dtype)
     i8 = (r2 // 128) % 8
     l_idx = r2 % 128
-    lane[pass_of_entry, i8, l_idx] = c2 % 128
-    val[pass_of_entry, i8, l_idx] = v2
+    slot = (pass_of_entry * TILE_ROWS + i8 * 128 + l_idx)
+    elane = (c2 % 128).astype(np.int8)
+    order = np.argsort(slot, kind="stable")
+    slot = slot[order].astype(np.int32)
+    elane = elane[order]
+    evals = v2[order]
 
     pass_tile = np.repeat(np.arange(n_row_tiles, dtype=np.int32),
                           npass_tile)
     pass_first = np.zeros(NP, np.int32)
     pass_first[base[:-1]] = 1
-    arrs, G = _group_plan(pass_tile, pass_first, q0, lane, val,
+    arrs, G = _group_plan(pass_tile, pass_first, q0, slot, elane, evals,
                           n_row_tiles=n_row_tiles)
     return GatherPlan(*arrs, n_rows, n_cols, n_row_tiles, x_sublanes, G)
 
 
-def _group_plan(pt, pf, q0, lane, val, n_row_tiles):
+def _group_plan(pt, pf, q0, slot, elane, evals, n_row_tiles):
     """Pick the kernel group size G (passes fused per grid step) and pad
     every tile's pass count to a multiple of it.
 
@@ -186,12 +228,12 @@ def _group_plan(pt, pf, q0, lane, val, n_row_tiles):
     while G > 1 and G * 4 > avg:
         G //= 2
     if G <= 1:
-        return (pt, pf, q0, lane, val), 1
+        return (pt, pf, q0, slot, elane, evals), 1
     tiles, counts = np.unique(pt, return_counts=True)
     newc = -(-counts // G) * G
     NP2 = int(newc.sum())
     if NP2 == NP:
-        return (pt, pf, q0, lane, val), G
+        return (pt, pf, q0, slot, elane, evals), G
     off_new = np.zeros(len(tiles) + 1, np.int64)
     np.cumsum(newc, out=off_new[1:])
     off_old = np.zeros(len(tiles) + 1, np.int64)
@@ -203,18 +245,25 @@ def _group_plan(pt, pf, q0, lane, val, n_row_tiles):
     pf2[off_new[:-1]] = 1
     q02 = np.zeros((NP2, 8), q0.dtype)
     q02[pos_new] = q0
-    lane2 = np.zeros((NP2, 8, 128), lane.dtype)
-    lane2[pos_new] = lane
-    val2 = np.zeros((NP2, 8, 128), val.dtype)
-    val2[pos_new] = val
-    return (pt2, pf2, q02, lane2, val2), G
+    # remap entry slots through the pass relocation (order preserved:
+    # pos_new is monotone in the old pass index)
+    ep = slot // TILE_ROWS
+    slot2 = (pos_new[ep] * TILE_ROWS + slot % TILE_ROWS).astype(np.int32)
+    return (pt2, pf2, q02, slot2, elane, evals), G
 
 
 def plan_stats(plan: GatherPlan) -> Tuple[int, float]:
     """(num_passes, fill fraction of pass tiles)."""
-    nnz = int((plan.val != 0).sum())
+    nnz = int((plan.evals != 0).sum())
     tot = plan.num_passes * TILE_ROWS
     return plan.num_passes, (nnz / tot if tot else 1.0)
+
+
+def plan_nbytes(plan: GatherPlan) -> int:
+    """Host->device wire bytes of the packed plan."""
+    return (plan.q0.nbytes + plan.slot.nbytes + plan.elane.nbytes
+            + plan.evals.nbytes + plan.pass_tile.nbytes
+            + plan.pass_first.nbytes)
 
 
 def pad_plan(plan: GatherPlan, np_pad: int) -> GatherPlan:
@@ -243,6 +292,7 @@ def pad_plan(plan: GatherPlan, np_pad: int) -> GatherPlan:
     last_tile = int(plan.pass_tile[NP - 1])
     return GatherPlan(
         padded(plan.pass_tile, last_tile), padded(plan.pass_first, 0),
-        padded(plan.q0, 0), padded(plan.lane, 0), padded(plan.val, 0),
+        padded(plan.q0, 0),
+        plan.slot, plan.elane, plan.evals,
         plan.n_rows, plan.n_cols, plan.n_row_tiles, plan.x_sublanes,
         plan.group)

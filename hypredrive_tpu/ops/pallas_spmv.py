@@ -90,6 +90,130 @@ def _gather_spmv_call(shape_info, pass_tile, pass_first, q0,
     )(pass_tile, pass_first, q0, lane, val, x_pad)
 
 
+# ---------------------------------------------------------------------------
+# On-device tile assembly.  The plan ships PACKED (slot, lane, val)
+# entries (~9 B/nnz); the dense (NP, 8, 128) tiles the kernel reads are
+# built by one sorted scatter on the target device — through a remote-
+# TPU tunnel this is the difference between shipping ~40 MB and shipping
+# the ~5 KB/pass mostly-zero tiles.  `deferred_assembly()` batches every
+# GatherSpMV built inside it (a whole AMG hierarchy) into ONE scatter
+# compile + ONE pipelined transfer.
+# ---------------------------------------------------------------------------
+
+_DEFER_STACK = []
+
+
+class _DeferredAssembly:
+    def __init__(self):
+        self.gops = []
+
+    def register(self, gop):
+        self.gops.append(gop)
+
+    def finalize(self, target_device=None):
+        """Assemble every registered GatherSpMV's tiles on the target."""
+        gops = [g for g in self.gops if g.chunks is None]
+        self.gops = []
+        if not gops:
+            return
+        # group by value dtype (in practice one group)
+        by_dtype = {}
+        for g in gops:
+            by_dtype.setdefault(jnp.dtype(g.dtype), []).append(g)
+        for dt, group in by_dtype.items():
+            _assemble_group(group, dt, target_device)
+
+
+def _assemble_group(gops, dtype, target_device):
+    items = []          # (gop, chunk_idx, nflat, np_c)
+    for g in gops:
+        for ci, (meta, pk) in enumerate(zip(g._chunk_meta, g._packed)):
+            p0, p1, _, _ = meta
+            items.append((g, ci, (p1 - p0) * TILE_ROWS, p1 - p0))
+    total = sum(n for _, _, n, _ in items)
+    if total >= (1 << 31):
+        for g in gops:
+            g._assemble_now()
+        return
+    bases = np.zeros(len(items) + 1, np.int64)
+    np.cumsum([n for _, _, n, _ in items], out=bases[1:])
+    slots = np.concatenate([
+        it[0]._packed[it[1]][3].astype(np.int64) + bases[i]
+        for i, it in enumerate(items)]).astype(np.int32)
+    elane = np.concatenate([it[0]._packed[it[1]][4] for it in items])
+    evals = np.concatenate([
+        np.asarray(it[0]._packed[it[1]][5], dtype=dtype) for it in items])
+    # every small per-pass array (tile, first, q0-flat) rides in ONE
+    # int32 buffer; the jit slices them back out — 4 transfers + 1
+    # executable total, independent of chunk count
+    meta_parts = []
+    for (g, ci, _, _) in items:
+        tile, first, q0f = g._packed[ci][0], g._packed[ci][1], \
+            g._packed[ci][2]
+        meta_parts += [tile, first, q0f]
+    meta = np.concatenate(meta_parts).astype(np.int32)
+    d_slots, d_elane, d_evals, d_meta = jax.device_put(
+        (slots, elane, evals, meta), target_device)
+    bounds = tuple(int(b) for b in bases)
+    np_cs = tuple(it[3] for it in items)
+    parts = _batched_assemble(bounds, np_cs, d_slots, d_elane, d_evals,
+                              d_meta)
+    per_gop = {}
+    for i, (g, ci, _, _) in enumerate(items):
+        t0, t1 = g._chunk_meta[ci][2], g._chunk_meta[ci][3]
+        tile, first, q0, val, lane = parts[i]
+        per_gop.setdefault(id(g), (g, []))[1].append(
+            (tile, first, q0, lane, val, t0, t1))
+    for g, chunks in per_gop.values():
+        g.chunks = chunks
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _batched_assemble(bounds, np_cs, slots, elane, evals, meta):
+    """One sorted scatter over the concatenated slot space, then static
+    slices back out per chunk.  ``bounds`` is the (static) cumulative
+    flat-size table, ``np_cs`` the per-chunk pass counts (the meta
+    buffer holds tile|first|q0-flat per chunk); one compile serves the
+    whole batch."""
+    total = bounds[-1]
+    val_flat = jnp.zeros(total, evals.dtype).at[slots].set(
+        evals, unique_indices=True, indices_are_sorted=True)
+    lane_flat = jnp.zeros(total, jnp.int32).at[slots].set(
+        elane.astype(jnp.int32), unique_indices=True,
+        indices_are_sorted=True).astype(jnp.int8)
+    out = []
+    m0 = 0
+    for i in range(len(bounds) - 1):
+        b0, b1 = bounds[i], bounds[i + 1]
+        np_c = np_cs[i]
+        tile = jax.lax.slice(meta, (m0,), (m0 + np_c,))
+        first = jax.lax.slice(meta, (m0 + np_c,), (m0 + 2 * np_c,))
+        q0 = jax.lax.slice(meta, (m0 + 2 * np_c,), (m0 + 10 * np_c,))
+        m0 += 10 * np_c
+        out.append((
+            tile, first, q0,
+            jax.lax.slice(val_flat, (b0,), (b1,)).reshape(-1, 8, 128),
+            jax.lax.slice(lane_flat, (b0,), (b1,)).reshape(-1, 8, 128)))
+    return tuple(out)
+
+
+def deferred_assembly():
+    """Context manager: GatherSpMV objects constructed inside defer their
+    device-tile assembly; call ``ctx.finalize(device)`` after the block
+    to batch-assemble all of them in one transfer + one compile."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        ctx = _DeferredAssembly()
+        _DEFER_STACK.append(ctx)
+        try:
+            yield ctx
+        finally:
+            _DEFER_STACK.remove(ctx)
+    return _cm()
+
+
 def _chunk_bounds(plan: GatherPlan):
     """[(p0, p1, t0, t1), ...] pass/tile ranges, each within the SMEM
     budget and split at tile boundaries; None if a single tile exceeds
@@ -145,28 +269,59 @@ class GatherSpMV:
         if self.use_pallas and bounds is None:
             self.use_pallas = False
         if self.use_pallas:
-            self.chunks = []
+            # keep the plan PACKED per chunk; dense tiles are assembled
+            # on device (deferred: batched with the whole hierarchy)
+            self._chunk_meta = bounds
+            self._packed = []
             for (p0, p1, t0, t1) in bounds:
-                self.chunks.append((
-                    jnp.asarray(plan.pass_tile[p0:p1] - t0),
-                    jnp.asarray(plan.pass_first[p0:p1]),
-                    jnp.asarray(plan.q0[p0:p1].reshape(-1)),
-                    # transfer int8; widening happens inside the kernel
-                    jnp.asarray(plan.lane[p0:p1]),
-                    jnp.asarray(plan.val[p0:p1], dtype=dtype),
-                    t0, t1))
+                e0 = int(np.searchsorted(plan.slot, p0 * TILE_ROWS, "left"))
+                e1 = int(np.searchsorted(plan.slot, p1 * TILE_ROWS, "left"))
+                self._packed.append((
+                    np.ascontiguousarray(plan.pass_tile[p0:p1] - t0),
+                    np.ascontiguousarray(plan.pass_first[p0:p1]),
+                    np.ascontiguousarray(plan.q0[p0:p1].reshape(-1)),
+                    np.ascontiguousarray(
+                        (plan.slot[e0:e1] - p0 * TILE_ROWS)
+                        .astype(np.int32)),
+                    np.ascontiguousarray(plan.elane[e0:e1]),
+                    np.ascontiguousarray(plan.evals[e0:e1]),
+                ))
+            self.chunks = None
+            if _DEFER_STACK:
+                _DEFER_STACK[-1].register(self)
+            else:
+                self._assemble_now()
         else:
             # XLA fallback keeps COO-style data
-            mask = plan.val != 0
-            p, s, l = np.nonzero(mask)
-            self.f_rows = jnp.asarray(
-                plan.pass_tile[p] * TILE_ROWS + s * 128 + l)
-            self.f_cols = jnp.asarray(
-                plan.q0[p, s].astype(np.int64) * 128 + plan.lane[mask])
-            self.f_vals = jnp.asarray(plan.val[mask], dtype=dtype)
+            rows, cols = plan.entry_rows_cols()
+            self.f_rows = jnp.asarray(rows)
+            self.f_cols = jnp.asarray(cols)
+            self.f_vals = jnp.asarray(plan.evals, dtype=dtype)
+
+    def _assemble_now(self):
+        """Eager per-chunk device assembly (non-batched path)."""
+        chunks = []
+        for meta, pk in zip(self._chunk_meta, self._packed):
+            p0, p1, t0, t1 = meta
+            tile, first, q0f, slots, elane, evals = pk
+            np_c = p1 - p0
+            nflat = np_c * TILE_ROWS
+            mbuf = np.concatenate([tile, first, q0f]).astype(np.int32)
+            parts = _batched_assemble(
+                (0, nflat), (np_c,), jnp.asarray(slots),
+                jnp.asarray(elane),
+                jnp.asarray(evals, dtype=self.dtype), jnp.asarray(mbuf))
+            dtile, dfirst, dq0, val, lane = parts[0]
+            chunks.append((dtile, dfirst, dq0, lane, val, t0, t1))
+        self.chunks = chunks
+
+    def _ensure_assembled(self):
+        if self.use_pallas and self.chunks is None:
+            self._assemble_now()
 
     def tree_children(self):
         if self.use_pallas:
+            self._ensure_assembled()
             out = []
             for c in self.chunks:
                 out.extend(c[:5])
@@ -194,6 +349,7 @@ class GatherSpMV:
         return rows, cols
 
     def diagonal_contrib(self) -> jnp.ndarray:
+        self._ensure_assembled()
         if self.NP == 0:
             return jnp.zeros(self.n_rows, self.dtype)
         if not self.use_pallas:
@@ -214,6 +370,7 @@ class GatherSpMV:
         return jnp.concatenate(parts)[:self.n_rows]
 
     def l1_contrib(self) -> jnp.ndarray:
+        self._ensure_assembled()
         if self.NP == 0:
             return jnp.zeros(self.n_rows, self.dtype)
         if not self.use_pallas:
@@ -231,6 +388,7 @@ class GatherSpMV:
 
     def scaled(self, sl, sr) -> "GatherSpMV":
         """New executor with values Sl·V·Sr (device-side)."""
+        self._ensure_assembled()
         import copy
 
         out = copy.copy(self)
@@ -266,6 +424,7 @@ class GatherSpMV:
 
     def to_coo_host(self):
         """(rows, cols, vals) numpy arrays of the planned entries."""
+        self._ensure_assembled()
         if self.NP == 0:
             return (np.empty(0, np.int64), np.empty(0, np.int64),
                     np.empty(0))
@@ -285,6 +444,7 @@ class GatherSpMV:
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """y = A_rest @ x for the planned entries."""
+        self._ensure_assembled()
         if self.NP == 0:
             return jnp.zeros(self.n_rows, x.dtype)
         if not self.use_pallas:

@@ -246,16 +246,23 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
         if cpu0 is not None:
             # honor an ambient jax.default_device(...) (the API sets it
             # to the system's device), else the first accelerator
+            from ...ops.pallas_spmv import deferred_assembly
+
             ambient = jax.config.jax_default_device
             target = ambient if ambient is not None else jax.devices()[0]
+            # stage the small per-level arrays on the CPU backend and the
+            # gather plans PACKED; then ship everything in two pipelined
+            # transfers (packed plans + batched scatter on device, and
+            # one device_put of the remaining level pytree).  Through a
+            # remote-TPU tunnel this ships ~9 B/nnz instead of the
+            # mostly-zero (NP, 8, 128) pass tiles.
             with jax.default_device(cpu0):
-                # per-level async device_put: each finished level ships
-                # while the host builds the next one — the transfer
-                # rides under the graph work instead of after it
-                state = _setup_hierarchy_impl(
-                    A_host, amg_args, dtype, dof_func, interp_vectors,
-                    None, xfer=lambda t: jax.device_put(t, target))
-            return state
+                with deferred_assembly() as ctx:
+                    state = _setup_hierarchy_impl(
+                        A_host, amg_args, dtype, dof_func, interp_vectors,
+                        None)
+            ctx.finalize(target)
+            return jax.device_put(state, target)
     return _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
                                  interp_vectors, mesh)
 

@@ -348,22 +348,32 @@ hdrv_plan_handle *hdrv_plan_begin(const int64_t *rows, const int64_t *cols,
   h->state = st;
 
   // sort entries by (row, col); rows/cols must fit 31 bits for the
-  // packed key (caller falls back to numpy otherwise)
-  std::vector<std::pair<int64_t, int64_t>> keyed;
-  keyed.reserve((size_t)n);
+  // packed key (caller falls back to numpy otherwise).  CSR-expanded
+  // input is already (row, col)-sorted — detect that in one pass and
+  // skip the sort (the common case from EllMatrix.from_csr).
+  bool presorted = true;
+  int64_t max_s = 0;
   for (int64_t i = 0; i < n; ++i) {
     if (rows[i] >= (1LL << 31) || cols[i] >= (1LL << 31) ||
         rows[i] < 0 || cols[i] < 0) {
       snprintf(h->err, sizeof h->err, "index exceeds 31 bits");
       return h;
     }
-    keyed.emplace_back((rows[i] << 31) | cols[i], i);
+    int64_t s = cols[i] >> 7;
+    if (s > max_s) max_s = s;
+    if (i && ((rows[i] < rows[i - 1]) ||
+              (rows[i] == rows[i - 1] && cols[i] < cols[i - 1])))
+      presorted = false;
   }
-  std::sort(keyed.begin(), keyed.end());
+  std::vector<std::pair<int64_t, int64_t>> keyed;
+  keyed.reserve((size_t)n);
+  for (int64_t i = 0; i < n; ++i)
+    keyed.emplace_back((rows[i] << 31) | cols[i], i);
+  if (!presorted) std::sort(keyed.begin(), keyed.end());
 
   // occurrence k within (row, s); re-key by subgroup (blk, s, k)
   std::vector<std::pair<int64_t, int64_t>> sgkey((size_t)n);
-  int64_t prev_rs = -1, k = 0;
+  int64_t prev_rs = -1, k = 0, max_k = 0;
   for (int64_t i = 0; i < n; ++i) {
     int64_t key = keyed[(size_t)i].first;
     int64_t e = keyed[(size_t)i].second;
@@ -376,10 +386,40 @@ hdrv_plan_handle *hdrv_plan_begin(const int64_t *rows, const int64_t *cols,
       snprintf(h->err, sizeof h->err, "more than 512 duplicate entries");
       return h;
     }
+    if (k > max_k) max_k = k;
     int64_t blk = row >> 7;
     sgkey[(size_t)i] = {(blk << 33) | (s << 9) | k, e};
   }
-  std::sort(sgkey.begin(), sgkey.end());
+  // sort by (blk, s, k) via three stable counting passes (LSD radix on
+  // the actual component ranges) — linear instead of O(n log n)
+  {
+    const int64_t nk = max_k + 1, ns = max_s + 1;
+    const int64_t nblk = (n_row_tiles << 3);
+    std::vector<std::pair<int64_t, int64_t>> tmp((size_t)n);
+    auto counting_pass = [&](std::vector<std::pair<int64_t, int64_t>> &src,
+                             std::vector<std::pair<int64_t, int64_t>> &dst,
+                             int shift, int64_t field_mask,
+                             int64_t n_buckets) {
+      std::vector<int64_t> cnt((size_t)n_buckets + 1, 0);
+      for (int64_t i = 0; i < n; ++i)
+        ++cnt[(size_t)((src[(size_t)i].first >> shift) & field_mask)];
+      int64_t run = 0;
+      for (size_t b = 0; b <= (size_t)n_buckets; ++b) {
+        int64_t c = cnt[b];
+        cnt[b] = run;
+        run += c;
+      }
+      for (int64_t i = 0; i < n; ++i)
+        dst[(size_t)cnt[(size_t)((src[(size_t)i].first >> shift)
+                                 & field_mask)]++] = src[(size_t)i];
+    };
+    // three stable counting passes over the actual component ranges
+    // (LSD radix: k, then s, then blk) — linear instead of O(n log n)
+    counting_pass(sgkey, tmp, 0, (1 << 9) - 1, nk);
+    counting_pass(tmp, sgkey, 9, (1 << 24) - 1, ns);
+    counting_pass(sgkey, tmp, 33, ~0LL >> 1, nblk);
+    sgkey.swap(tmp);
+  }
 
   // per-tile pass counts (>= 1, so every tile gets a zero-init pass)
   std::vector<int64_t> npass((size_t)n_row_tiles, 1);
@@ -437,10 +477,15 @@ const char *hdrv_plan_err(const hdrv_plan_handle *h) {
   return h ? h->err : "alloc failed";
 }
 
-// Buffers must be zero-initialized by the caller (holes stay 0).
-void hdrv_plan_fill(const hdrv_plan_handle *h, int32_t *pass_tile,
-                    int32_t *pass_first, int32_t *q0, int8_t *lane,
-                    void *val, int want_f32) {
+// Packed output: per entry a flat slot = pass*1024 + pos (sorted
+// ascending), the x-lane and the value — the dense (NP, 8, 128) tiles
+// are assembled on DEVICE by one sorted scatter (ops/pallas_spmv.py).
+// pass_tile/pass_first (NP) and q0 (NP*8, zero-initialized by caller)
+// are written as before; slot/elane/val have length n (the entry count
+// given to hdrv_plan_begin).
+void hdrv_plan_fill_packed(const hdrv_plan_handle *h, int32_t *pass_tile,
+                           int32_t *pass_first, int32_t *q0, int32_t *slot,
+                           int8_t *elane, void *val, int want_f32) {
   if (!h || !h->state) return;
   const auto *st = static_cast<const PlanState *>(h->state);
   float *val32 = want_f32 ? (float *)val : nullptr;
@@ -452,12 +497,33 @@ void hdrv_plan_fill(const hdrv_plan_handle *h, int32_t *pass_tile,
     pass_first[st->base[(size_t)t]] = 1;
   }
   for (const PlanSg &g : st->sg) q0[g.pass * 8 + g.i8] = g.s;
-  for (const PlanEnt &pe : st->ent) {
-    lane[pe.pass * 1024 + pe.pos] = pe.lane;
+
+  // order entries by slot (pass, pos) with two stable counting passes
+  // (pos: 1024 buckets, then pass: NP buckets) — one entry per slot by
+  // construction, so the key is unique
+  const size_t ne = st->ent.size();
+  std::vector<int32_t> ord(ne), tmp(ne);
+  {
+    int64_t cnt_pos[1025] = {0};
+    for (size_t i = 0; i < ne; ++i) ++cnt_pos[st->ent[i].pos + 1];
+    for (int b = 0; b < 1024; ++b) cnt_pos[b + 1] += cnt_pos[b];
+    for (size_t i = 0; i < ne; ++i)
+      tmp[(size_t)cnt_pos[st->ent[i].pos]++] = (int32_t)i;
+    std::vector<int64_t> cnt_pass((size_t)h->np_ + 1, 0);
+    for (size_t i = 0; i < ne; ++i) ++cnt_pass[(size_t)st->ent[i].pass + 1];
+    for (int64_t b = 0; b < h->np_; ++b)
+      cnt_pass[(size_t)b + 1] += cnt_pass[(size_t)b];
+    for (size_t i = 0; i < ne; ++i)
+      ord[(size_t)cnt_pass[(size_t)st->ent[(size_t)tmp[i]].pass]++] = tmp[i];
+  }
+  for (size_t i = 0; i < ne; ++i) {
+    const PlanEnt &pe = st->ent[(size_t)ord[i]];
+    slot[i] = (int32_t)(pe.pass * 1024 + pe.pos);
+    elane[i] = pe.lane;
     if (val32)
-      val32[pe.pass * 1024 + pe.pos] = (float)h->vals[pe.src];
+      val32[i] = (float)h->vals[pe.src];
     else
-      val64[pe.pass * 1024 + pe.pos] = h->vals[pe.src];
+      val64[i] = h->vals[pe.src];
   }
 }
 

@@ -92,7 +92,8 @@ def main():
                               coo.col.astype(np.int64), coo.data,
                               M.shape[0], M.shape[1])
             npass, fill = plan_stats(plan)
-            b = plan.q0.nbytes + plan.lane.nbytes + plan.val.nbytes
+            from hypredrive_tpu.ops.gather_plan import plan_nbytes
+            b = plan_nbytes(plan)
             plan_bytes += b
             if i < 3 or name == "A":
                 print(f"  lvl {i} {name}: nnz={Mc.nnz} passes={npass} "
