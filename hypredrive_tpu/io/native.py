@@ -73,10 +73,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or (
-                os.path.exists(os.path.join(_NATIVE_DIR, "src", "ij_io.cpp"))
-                and os.path.getmtime(_SO) < os.path.getmtime(
-                    os.path.join(_NATIVE_DIR, "src", "ij_io.cpp"))):
+        srcs = [os.path.join(_NATIVE_DIR, "src", f)
+                for f in ("ij_io.cpp", "amg_setup.cpp")]
+        src_mtime = max((os.path.getmtime(s) for s in srcs
+                         if os.path.exists(s)), default=0)
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
             if not _build():
                 return None
         try:
@@ -106,6 +107,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64]
         lib.hdrv_plan_np.restype = ctypes.c_int64
         lib.hdrv_plan_np.argtypes = [ctypes.c_void_p]
+        lib.hdrv_plan_group.restype = ctypes.c_int64
+        lib.hdrv_plan_group.argtypes = [ctypes.c_void_p]
         lib.hdrv_plan_err.restype = ctypes.c_char_p
         lib.hdrv_plan_err.argtypes = [ctypes.c_void_p]
         lib.hdrv_plan_fill_packed.restype = None
@@ -117,6 +120,40 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int]
         lib.hdrv_plan_end.restype = None
         lib.hdrv_plan_end.argtypes = [ctypes.c_void_p]
+        # AMG setup kernels (native/src/amg_setup.cpp)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.hdrv_strength.restype = ctypes.c_int64
+        lib.hdrv_strength.argtypes = [
+            ctypes.c_int64, i64p, i64p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_double, ctypes.c_int, i32p, i64p, i64p]
+        lib.hdrv_pmis.restype = None
+        lib.hdrv_pmis.argtypes = [
+            ctypes.c_int64, i64p, i64p, ctypes.c_int64, f64p, i8p]
+        lib.hdrv_interp_begin.restype = ctypes.c_void_p
+        lib.hdrv_interp_begin.argtypes = [
+            ctypes.c_int64, i64p, i64p, ctypes.c_void_p, ctypes.c_int,
+            i64p, i64p, i8p, ctypes.c_int, ctypes.c_double, ctypes.c_int64]
+        lib.hdrv_interp_nnz.restype = ctypes.c_int64
+        lib.hdrv_interp_nnz.argtypes = [ctypes.c_void_p]
+        lib.hdrv_interp_ncols.restype = ctypes.c_int64
+        lib.hdrv_interp_ncols.argtypes = [ctypes.c_void_p]
+        lib.hdrv_interp_fill.restype = None
+        lib.hdrv_interp_fill.argtypes = [ctypes.c_void_p, i64p, i64p, f64p]
+        lib.hdrv_interp_end.restype = None
+        lib.hdrv_interp_end.argtypes = [ctypes.c_void_p]
+        lib.hdrv_rap_begin.restype = ctypes.c_void_p
+        lib.hdrv_rap_begin.argtypes = [
+            ctypes.c_int64, i64p, i64p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int64, i64p, i64p, f64p]
+        lib.hdrv_rap_nnz.restype = ctypes.c_int64
+        lib.hdrv_rap_nnz.argtypes = [ctypes.c_void_p]
+        lib.hdrv_rap_fill.restype = None
+        lib.hdrv_rap_fill.argtypes = [ctypes.c_void_p, i64p, i64p, f64p]
+        lib.hdrv_rap_end.restype = None
+        lib.hdrv_rap_end.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -164,7 +201,8 @@ def build_gather_plan(rows, cols, vals, n_rows, n_cols, n_row_tiles):
             q0.ctypes.data_as(i32p), slot.ctypes.data_as(i32p),
             elane.ctypes.data_as(i8p),
             evals.ctypes.data_as(ctypes.c_void_p), int(want_f32))
-        return pt, pf, q0, slot, elane, evals
+        G = int(lib.hdrv_plan_group(h))
+        return pt, pf, q0, slot, elane, evals, G
     finally:
         lib.hdrv_plan_end(h)
 
@@ -246,3 +284,141 @@ def write_vector_ascii(path: str, vals, ilower: int = 0) -> bool:
         path.encode(), ilower,
         vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(vals))
     return rc == 0
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _csr_arrays(A):
+    """(n, indptr i64, indices i64, data, is_f32) from a scipy CSR."""
+    indptr = np.ascontiguousarray(A.indptr, np.int64)
+    indices = np.ascontiguousarray(A.indices, np.int64)
+    if A.data.dtype == np.float32:
+        data = np.ascontiguousarray(A.data, np.float32)
+        return A.shape[0], indptr, indices, data, 1
+    data = np.ascontiguousarray(A.data, np.float64)
+    return A.shape[0], indptr, indices, data, 0
+
+
+def amg_strength(A, theta: float, sabs: bool, dof_func=None):
+    """Native strength pattern; returns (s_indptr, s_indices) or None.
+
+    Semantics: precon/amg/strength.py (classical CreateS)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, indptr, indices, data, is_f32 = _csr_arrays(A)
+    s_indptr = np.zeros(n + 1, np.int64)
+    s_indices = np.empty(max(1, A.nnz), np.int64)
+    df = None
+    dfp = None
+    if dof_func is not None:
+        df = np.ascontiguousarray(dof_func, np.int32)
+        dfp = df.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    nnz = lib.hdrv_strength(
+        n, _i64p(indptr), _i64p(indices),
+        data.ctypes.data_as(ctypes.c_void_p), is_f32,
+        float(theta), int(bool(sabs)), dfp,
+        _i64p(s_indptr), _i64p(s_indices))
+    if nnz < 0:
+        return None
+    return s_indptr, s_indices[:nnz].copy()
+
+
+def amg_pmis(s_indptr, s_indices, seed: int, boost=None):
+    """Native PMIS C/F marks (bit-exact with coarsen.pmis) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(s_indptr) - 1
+    s_indptr = np.ascontiguousarray(s_indptr, np.int64)
+    s_indices = np.ascontiguousarray(s_indices, np.int64)
+    cf = np.empty(n, np.int8)
+    bp = None
+    if boost is not None:
+        boost = np.ascontiguousarray(boost, np.float64)
+        bp = boost.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    lib.hdrv_pmis(n, _i64p(s_indptr), _i64p(s_indices), int(seed), bp,
+                  cf.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    return cf
+
+
+def amg_interp_ext_i(A, s_indptr, s_indices, cf, plus_i: bool,
+                     trunc_factor: float, max_nnz_row: int):
+    """Native extended(+i) interpolation; returns a scipy CSR P or None.
+
+    Semantics: precon/amg/interp.py extended_i_interpolation."""
+    import scipy.sparse as sp
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, indptr, indices, data, is_f32 = _csr_arrays(A)
+    s_indptr = np.ascontiguousarray(s_indptr, np.int64)
+    s_indices = np.ascontiguousarray(s_indices, np.int64)
+    cf8 = np.ascontiguousarray(cf, np.int8)
+    h = lib.hdrv_interp_begin(
+        n, _i64p(indptr), _i64p(indices),
+        data.ctypes.data_as(ctypes.c_void_p), is_f32,
+        _i64p(s_indptr), _i64p(s_indices),
+        cf8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        int(bool(plus_i)), float(trunc_factor), int(max_nnz_row or 0))
+    if not h:
+        return None
+    try:
+        nnz = lib.hdrv_interp_nnz(h)
+        nC = lib.hdrv_interp_ncols(h)
+        if nnz < 0:
+            return None
+        p_indptr = np.empty(n + 1, np.int64)
+        p_indices = np.empty(max(1, nnz), np.int64)
+        p_data = np.empty(max(1, nnz), np.float64)
+        lib.hdrv_interp_fill(
+            h, _i64p(p_indptr), _i64p(p_indices),
+            p_data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        P = sp.csr_matrix(
+            (p_data[:nnz], p_indices[:nnz], p_indptr), shape=(n, nC))
+        if A.data.dtype == np.float32:
+            P.data = P.data.astype(np.float32)
+        return P
+    finally:
+        lib.hdrv_interp_end(h)
+
+
+def amg_rap(A, P):
+    """Native Galerkin triple product Pᵀ·A·P as scipy CSR, or None."""
+    import scipy.sparse as sp
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, a_indptr, a_indices, a_data, a_is_f32 = _csr_arrays(A)
+    nC = P.shape[1]
+    p_indptr = np.ascontiguousarray(P.indptr, np.int64)
+    p_indices = np.ascontiguousarray(P.indices, np.int64)
+    p_data = np.ascontiguousarray(P.data, np.float64)
+    h = lib.hdrv_rap_begin(
+        n, _i64p(a_indptr), _i64p(a_indices),
+        a_data.ctypes.data_as(ctypes.c_void_p), a_is_f32,
+        nC, _i64p(p_indptr), _i64p(p_indices),
+        p_data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if not h:
+        return None
+    try:
+        nnz = lib.hdrv_rap_nnz(h)
+        if nnz < 0:
+            return None
+        c_indptr = np.empty(nC + 1, np.int64)
+        c_indices = np.empty(max(1, nnz), np.int64)
+        c_data = np.empty(max(1, nnz), np.float64)
+        lib.hdrv_rap_fill(
+            h, _i64p(c_indptr), _i64p(c_indices),
+            c_data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        Ac = sp.csr_matrix(
+            (c_data[:nnz], c_indices[:nnz], c_indptr), shape=(nC, nC))
+        if A.data.dtype == np.float32:
+            Ac.data = Ac.data.astype(np.float32)
+        return Ac
+    finally:
+        lib.hdrv_rap_end(h)

@@ -129,9 +129,10 @@ def build_plan(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     except Exception:
         nat = None
     if nat is not None:
-        arrs, G = _group_plan(*nat, n_row_tiles=n_row_tiles)
-        return GatherPlan(*arrs, n_rows, n_cols, n_row_tiles,
-                          x_sublanes, G)
+        # the native planner already grouped/padded pass counts
+        pt, pf, q0, slot, elane, evals, G = nat
+        return GatherPlan(pt, pf, q0, slot, elane, evals,
+                          n_rows, n_cols, n_row_tiles, x_sublanes, G)
 
     blk = rows // 128                       # global 128-row output block
     s = cols // 128                         # x-sublane of the column

@@ -197,6 +197,64 @@ def _batched_assemble(bounds, np_cs, slots, elane, evals, meta):
     return tuple(out)
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _batched_unpack(layout, buf):
+    """Slice one same-dtype staging buffer back into leaves.
+
+    ``layout``: tuple of (offset, length, shape) in ELEMENTS — static,
+    so one executable serves the whole group; pure slices + reshapes
+    (no bitcasts — sub-word bitcast lowers catastrophically on TPU)."""
+    out = []
+    for (off, ln, shape) in layout:
+        out.append(jax.lax.slice(buf, (off,), (off + ln,)).reshape(shape))
+    return tuple(out)
+
+
+def batched_device_put(tree, target_device=None):
+    """Move a pytree of host/CPU arrays to the target with one transfer
+    and one compiled unpack PER DTYPE GROUP — through a remote-TPU
+    tunnel this replaces per-array dispatch round-trips (10-20 ms each)
+    with a few pipelined copies.  Arrays already on the target pass
+    through; dtypes needing x64 canonicalization (f64/i64/bool) take the
+    normal device_put path."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    moved = list(leaves)
+    groups = {}   # dtype name -> (idx list, parts list, layout list, off)
+    rest_idx = []
+    packable = {"float32", "int32", "int8", "uint8", "int16", "uint16",
+                "uint32", "float16", "bfloat16"}
+    for i, leaf in enumerate(leaves):
+        if not isinstance(leaf, (np.ndarray, jnp.ndarray)):
+            continue
+        if isinstance(leaf, jnp.ndarray):
+            devs = getattr(leaf, "devices", lambda: set())()
+            if target_device is not None and devs == {target_device}:
+                continue
+            a = np.asarray(leaf)
+        else:
+            a = leaf
+        if a.dtype.name not in packable or a.size == 0:
+            rest_idx.append(i)
+            continue
+        g = groups.setdefault(a.dtype.name, [[], [], [], 0])
+        g[0].append(i)
+        g[1].append(np.ascontiguousarray(a).reshape(-1))
+        g[2].append((g[3], a.size, a.shape))
+        g[3] += a.size
+    if rest_idx:
+        rest_moved = jax.device_put([leaves[i] for i in rest_idx],
+                                    target_device)
+        for i, arr in zip(rest_idx, rest_moved):
+            moved[i] = arr
+    for name, (idx, parts, layout, _) in groups.items():
+        buf = np.concatenate(parts)
+        dbuf = jax.device_put(buf, target_device)
+        unpacked = _batched_unpack(tuple(layout), dbuf)
+        for i, arr in zip(idx, unpacked):
+            moved[i] = arr
+    return jax.tree_util.tree_unflatten(treedef, moved)
+
+
 def deferred_assembly():
     """Context manager: GatherSpMV objects constructed inside defer their
     device-tile assembly; call ``ctx.finalize(device)`` after the block

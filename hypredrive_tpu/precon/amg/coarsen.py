@@ -37,6 +37,14 @@ def pmis(S: sp.csr_matrix, seed: int = 0,
          measure_boost: np.ndarray | None = None) -> np.ndarray:
     """PMIS C/F splitting on strength graph S (S[i,j]: i depends on j)."""
     n = S.shape[0]
+    try:
+        from ...io.native import amg_pmis
+
+        nat = amg_pmis(S.indptr, S.indices, seed, measure_boost)
+    except Exception:
+        nat = None
+    if nat is not None:
+        return nat
     ST = S.T.tocsr()  # ST[j,i]: j influences i → row j lists dependents
 
     # measure = number of points this point strongly influences + rand

@@ -96,6 +96,25 @@ class AMGState:
         return cls(levels, coarse_inv, *aux)
 
 
+def _galerkin_rap(A_l: sp.csr_matrix, P: sp.csr_matrix, R: sp.csr_matrix,
+                  petrov: bool) -> sp.csr_matrix:
+    """A_c = R·A·P (native Pᵀ·A·P fast path when R is just Pᵀ)."""
+    if not petrov:
+        try:
+            from ...io.native import amg_rap
+
+            Ac = amg_rap(sp.csr_matrix(A_l), sp.csr_matrix(P))
+        except Exception:
+            Ac = None
+        if Ac is not None:
+            return Ac
+    if R is None:
+        R = sp.csr_matrix(P.T)
+    A_c = sp.csr_matrix(R @ A_l @ P)   # (Petrov-)Galerkin RAP
+    A_c.sort_indices()
+    return A_c
+
+
 def _power_lambda_max(A_host: sp.csr_matrix, d_inv: np.ndarray,
                       iters: int = 10, seed: int = 0) -> float:
     """Host power iteration on D⁻¹A (setup-phase λmax estimate —
@@ -204,7 +223,7 @@ def _aggressive_interpolation(A_l, S, cf1, itp, lvl, ctype, theta, sabs,
                              trunc_factor=trunc_factor,
                              max_nnz_row=max_nnz_row)
     C1 = np.flatnonzero(cf1 > 0)
-    A1 = sp.csr_matrix(P1.T @ A_l @ P1)
+    A1 = _galerkin_rap(A_l, P1, None, petrov=False)
     func1 = func_l[C1] if func_l is not None else None
     S1 = strength_graph(A1, theta=theta, sabs=sabs, dof_func=func1)
     if S1.nnz == 0:
@@ -246,7 +265,8 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
         if cpu0 is not None:
             # honor an ambient jax.default_device(...) (the API sets it
             # to the system's device), else the first accelerator
-            from ...ops.pallas_spmv import deferred_assembly
+            from ...ops.pallas_spmv import (batched_device_put,
+                                            deferred_assembly)
 
             ambient = jax.config.jax_default_device
             target = ambient if ambient is not None else jax.devices()[0]
@@ -262,7 +282,7 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
                         A_host, amg_args, dtype, dof_func, interp_vectors,
                         None)
             ctx.finalize(target)
-            return jax.device_put(state, target)
+            return batched_device_put(state, target)
     return _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
                                  interp_vectors, mesh)
 
@@ -323,6 +343,16 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
     A_l = sp.csr_matrix(A_host)
     func_l = dof_func if num_functions > 1 else None
 
+    # worker thread for per-level device prep (jax.default_device is
+    # thread-local, so capture the ambient staging device and re-enter
+    # it inside the worker)
+    executor = None
+    ambient_dev = jax.config.jax_default_device
+    if mesh is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        executor = ThreadPoolExecutor(max_workers=1)
+
     # interpolation-vector (RBM) augmentation — active when the variant
     # is enabled and vectors were provided (ref: amg.c:602 AMGSetRBMs)
     V_l = None
@@ -372,8 +402,7 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
         R_air = build_restriction(A_l, cf, restriction_type,
                                   restrict_th, restrict_filter)
         R = R_air if R_air is not None else sp.csr_matrix(P.T)
-        A_c = sp.csr_matrix(R @ A_l @ P)   # (Petrov-)Galerkin RAP
-        A_c.sort_indices()
+        A_c = _galerkin_rap(A_l, P, R, R_air is not None)
         fmask = (cf < 0).astype(np.float64) \
             if (kind.startswith("air-") or up_kind.startswith("air-")) \
             else None
@@ -400,43 +429,63 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
                 up_smoother=up_k, up_arrays=up_sm,
             ))
         else:
-            E = EllMatrix.from_csr(A_l, dtype=dtype)
-            lvl_kind = kind
-            sm = None
-            if lvl < smoother_levels and mesh is None \
-                    and smoother_type in (4, 5, 7, 8, 9):
-                # FSAI complex smoother on this level (sequential types
-                # map to the FSAI equivalent, the reference's own
-                # device fallback philosophy)
-                from ..fsai import build_fsai
+            # device prep (plan building, smoother vectors) runs on a
+            # worker thread overlapped with the NEXT level's graph work
+            # — the C++ planner releases the GIL, so the two slow host
+            # cores stay busy
+            def make_level(A_l=A_l, P=P, R=R, kind=kind, up_kind=up_kind,
+                           fmask=fmask, lvl=lvl):
+                if ambient_dev is not None:
+                    cmgr = jax.default_device(ambient_dev)
+                else:
+                    import contextlib
 
-                fs = amg_args.smoother.fsai
-                G, GT = build_fsai(
-                    A_l, max_nnz_row=int(fs.max_steps) * int(fs.max_step_size),
-                    threshold=float(fs.kap_tolerance), dtype=dtype)
-                lvl_kind = "fsai"
-                sm = (G, GT)
-            if sm is None:
-                sm = _smoother_arrays(kind, A_l, E, rlx.chebyshev,
-                                      weight, fmask)
-            up_k = up_sm = None
-            if up_kind != kind and lvl_kind != "fsai":
-                # independent up (post) smoother — the reference
-                # configures down/up relax types separately
-                # (ref: amg.c:355-400 down_type/up_type)
-                up_k = up_kind
-                up_sm = _smoother_arrays(up_kind, A_l, E, rlx.chebyshev,
-                                         weight, fmask)
-            levels.append(xfer(AMGLevel(
-                A=E,
-                P=EllMatrix.from_csr(P, dtype=dtype),
-                R=EllMatrix.from_csr(R, dtype=dtype),
-                smooth_arrays=sm,
-                smoother=lvl_kind,
-                pre_sweeps=pre if lvl_kind != "fsai" else smoother_sweeps,
-                post_sweeps=post if lvl_kind != "fsai" else smoother_sweeps,
-                up_smoother=up_k, up_arrays=up_sm,
-            )))
+                    cmgr = contextlib.nullcontext()
+                with cmgr:
+                    E = EllMatrix.from_csr(A_l, dtype=dtype)
+                    lvl_kind = kind
+                    sm = None
+                    if lvl < smoother_levels \
+                            and smoother_type in (4, 5, 7, 8, 9):
+                        # FSAI complex smoother on this level (host-
+                        # sequential types map to the FSAI equivalent,
+                        # the reference's own device fallback philosophy)
+                        from ..fsai import build_fsai
+
+                        fs = amg_args.smoother.fsai
+                        G, GT = build_fsai(
+                            A_l,
+                            max_nnz_row=(int(fs.max_steps)
+                                         * int(fs.max_step_size)),
+                            threshold=float(fs.kap_tolerance), dtype=dtype)
+                        lvl_kind = "fsai"
+                        sm = (G, GT)
+                    if sm is None:
+                        sm = _smoother_arrays(kind, A_l, E, rlx.chebyshev,
+                                              weight, fmask)
+                    up_k = up_sm = None
+                    if up_kind != kind and lvl_kind != "fsai":
+                        # independent up (post) smoother — the reference
+                        # configures down/up relax types separately
+                        # (ref: amg.c:355-400 down_type/up_type)
+                        up_k = up_kind
+                        up_sm = _smoother_arrays(up_kind, A_l, E,
+                                                 rlx.chebyshev, weight,
+                                                 fmask)
+                    return xfer(AMGLevel(
+                        A=E,
+                        P=EllMatrix.from_csr(P, dtype=dtype),
+                        R=EllMatrix.from_csr(R, dtype=dtype),
+                        smooth_arrays=sm,
+                        smoother=lvl_kind,
+                        pre_sweeps=(pre if lvl_kind != "fsai"
+                                    else smoother_sweeps),
+                        post_sweeps=(post if lvl_kind != "fsai"
+                                     else smoother_sweeps),
+                        up_smoother=up_k, up_arrays=up_sm,
+                    ))
+            levels.append(executor.submit(make_level)
+                          if executor is not None else make_level())
         if func_l is not None:
             func_l = func_l[cf > 0]
         if V_l is not None:
@@ -444,6 +493,12 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
         A_l = A_c
         if A_l.shape[0] <= max_coarse:
             break
+
+    # resolve the overlapped level builds
+    if executor is not None:
+        levels = [lv.result() if hasattr(lv, "result") else lv
+                  for lv in levels]
+        executor.shutdown(wait=True)
 
     # coarsest level: dense inverse (ref coarse_type 9 = GE)
     if mesh is not None:

@@ -90,6 +90,16 @@ def extended_i_interpolation(A: sp.csr_matrix, S: sp.csr_matrix,
                              max_nnz_row: int = 4,
                              plus_i: bool = True) -> sp.csr_matrix:
     """Extended(+i) interpolation in matrix-matrix form (hypre mm-ext+i)."""
+    if sp.csr_matrix(A).has_sorted_indices:
+        try:
+            from ...io.native import amg_interp_ext_i
+
+            nat = amg_interp_ext_i(sp.csr_matrix(A), S.indptr, S.indices,
+                                   cf, plus_i, trunc_factor, max_nnz_row)
+        except Exception:
+            nat = None
+        if nat is not None:
+            return nat
     A_FF, A_FC, diag, weak_rowsum, F, C = _split_blocks(A, S, cf)
     nF = len(F)
 

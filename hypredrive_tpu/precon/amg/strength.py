@@ -23,6 +23,18 @@ def strength_graph(A: sp.csr_matrix, theta: float = 0.25, sabs: bool = False,
     """Boolean CSR S: S[i,j]=1 ⇔ i strongly depends on j (j≠i)."""
     A = sp.csr_matrix(A)
     n = A.shape[0]
+    if A.has_sorted_indices:
+        try:
+            from ...io.native import amg_strength
+
+            nat = amg_strength(A, theta, sabs, dof_func)
+        except Exception:
+            nat = None
+        if nat is not None:
+            s_indptr, s_indices = nat
+            return sp.csr_matrix(
+                (np.ones(len(s_indices), dtype=np.int8),
+                 s_indices, s_indptr), shape=A.shape)
     indptr, indices, data = A.indptr, A.indices, A.data
 
     rows = np.repeat(np.arange(n), np.diff(indptr))

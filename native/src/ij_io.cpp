@@ -318,6 +318,7 @@ typedef struct {
   int64_t np_;
   int64_t n;
   int64_t n_row_tiles;
+  int64_t group;   // kernel group size G (pass counts padded to it)
   const double *vals;
   void *state;  // PlanState*
   char err[256];
@@ -434,6 +435,19 @@ hdrv_plan_handle *hdrv_plan_begin(const int64_t *rows, const int64_t *cols,
     int64_t t = blk >> 3;
     if (j + 1 > npass[(size_t)t]) npass[(size_t)t] = j + 1;
   }
+  // kernel group size G (passes fused per grid step) and per-tile pass
+  // padding to a multiple of it — same policy as gather_plan._group_plan
+  {
+    int64_t np_raw = 0;
+    for (int64_t t = 0; t < n_row_tiles; ++t) np_raw += npass[(size_t)t];
+    double avg = (double)np_raw / (double)(n_row_tiles > 0 ? n_row_tiles : 1);
+    int64_t G = 8;
+    while (G > 1 && (double)(G * 4) > avg) G /= 2;
+    h->group = G;
+    if (G > 1)
+      for (int64_t t = 0; t < n_row_tiles; ++t)
+        npass[(size_t)t] = ((npass[(size_t)t] + G - 1) / G) * G;
+  }
   st->base.assign((size_t)n_row_tiles + 1, 0);
   for (int64_t t = 0; t < n_row_tiles; ++t)
     st->base[(size_t)t + 1] = st->base[(size_t)t] + npass[(size_t)t];
@@ -472,6 +486,10 @@ hdrv_plan_handle *hdrv_plan_begin(const int64_t *rows, const int64_t *cols,
 }
 
 int64_t hdrv_plan_np(const hdrv_plan_handle *h) { return h ? h->np_ : -1; }
+
+int64_t hdrv_plan_group(const hdrv_plan_handle *h) {
+  return h ? (h->group > 0 ? h->group : 1) : 1;
+}
 
 const char *hdrv_plan_err(const hdrv_plan_handle *h) {
   return h ? h->err : "alloc failed";

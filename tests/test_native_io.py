@@ -110,3 +110,184 @@ def test_native_gather_plan_matches_numpy():
     assert np.array_equal(nat.q0, ref.q0)
     assert np.array_equal(nat.lane, ref.lane)
     assert np.allclose(nat.val, ref.val)
+
+
+# ---------------------------------------------------------------------------
+# Native AMG setup kernels (native/src/amg_setup.cpp) vs numpy twins
+# ---------------------------------------------------------------------------
+
+def _rand_spd(n, seed, density=0.01, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    A = sp.random(n, n, density=density, random_state=rng, format="csr")
+    A = A + A.T + sp.identity(n) * (abs(A).sum(axis=1).max() + 1.0)
+    A = sp.csr_matrix(A, dtype=dtype)
+    A.sum_duplicates()
+    A.sort_indices()
+    return A
+
+
+def _numpy_strength(A, theta, sabs=False, dof_func=None):
+    from hypredrive_tpu.precon.amg import strength as st
+    import hypredrive_tpu.io.native as nat
+    orig = nat.get_lib
+    nat.get_lib = lambda: None        # force the numpy path
+    try:
+        return st.strength_graph(A, theta=theta, sabs=sabs,
+                                 dof_func=dof_func)
+    finally:
+        nat.get_lib = orig
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+@pytest.mark.parametrize("theta,sabs", [(0.25, False), (0.5, True)])
+def test_native_strength_matches_numpy(dtype, theta, sabs):
+    from hypredrive_tpu.io.native import amg_strength
+
+    A = _rand_spd(400, 7, dtype=dtype)
+    nat = amg_strength(A, theta, sabs)
+    assert nat is not None, "native library unavailable"
+    S_ref = _numpy_strength(A, theta, sabs=sabs)
+    s_indptr, s_indices = nat
+    assert np.array_equal(s_indptr, S_ref.indptr)
+    assert np.array_equal(s_indices, S_ref.indices)
+
+
+def test_native_strength_dof_func():
+    from hypredrive_tpu.io.native import amg_strength
+
+    A = _rand_spd(300, 3)
+    df = (np.arange(300) % 3).astype(np.int32)
+    nat = amg_strength(A, 0.25, False, df)
+    assert nat is not None
+    S_ref = _numpy_strength(A, 0.25, dof_func=df)
+    assert np.array_equal(nat[0], S_ref.indptr)
+    assert np.array_equal(nat[1], S_ref.indices)
+
+
+def _numpy_pmis(S, seed, boost=None):
+    from hypredrive_tpu.precon.amg import coarsen as co
+    import hypredrive_tpu.io.native as nat
+    orig = nat.get_lib
+    nat.get_lib = lambda: None
+    try:
+        return co.pmis(S, seed=seed, measure_boost=boost)
+    finally:
+        nat.get_lib = orig
+
+
+@pytest.mark.parametrize("seed", [0, 1, 1003])
+def test_native_pmis_bit_exact(seed):
+    from hypredrive_tpu.io.native import amg_pmis
+    from hypredrive_tpu.precon.amg.strength import strength_graph
+
+    A = _rand_spd(500, seed + 11, density=0.02)
+    S = strength_graph(A, theta=0.25)
+    cf_nat = amg_pmis(S.indptr, S.indices, seed)
+    assert cf_nat is not None
+    cf_ref = _numpy_pmis(S, seed)
+    assert np.array_equal(cf_nat, cf_ref)
+
+
+def test_native_pmis_with_boost():
+    from hypredrive_tpu.io.native import amg_pmis
+    from hypredrive_tpu.precon.amg.strength import strength_graph
+
+    A = _rand_spd(300, 5, density=0.03)
+    S = strength_graph(A, theta=0.25)
+    boost = np.linspace(0, 2.0, 300)
+    cf_nat = amg_pmis(S.indptr, S.indices, 2, boost)
+    cf_ref = _numpy_pmis(S, 2, boost)
+    assert np.array_equal(cf_nat, cf_ref)
+
+
+def _numpy_interp(A, S, cf, **kw):
+    from hypredrive_tpu.precon.amg import interp as itp
+    import hypredrive_tpu.io.native as nat
+    orig = nat.get_lib
+    nat.get_lib = lambda: None
+    try:
+        return itp.extended_i_interpolation(A, S, cf, **kw)
+    finally:
+        nat.get_lib = orig
+
+
+@pytest.mark.parametrize("plus_i", [True, False])
+@pytest.mark.parametrize("maxnnz", [4, 0])
+def test_native_ext_i_interp_matches_numpy(plus_i, maxnnz):
+    from hypredrive_tpu.io.native import amg_interp_ext_i
+    from hypredrive_tpu.precon.amg.strength import strength_graph
+    from hypredrive_tpu.precon.amg.coarsen import pmis
+
+    A = _rand_spd(400, 17, density=0.02)
+    S = strength_graph(A, theta=0.25)
+    cf = pmis(S, 0)
+    P_nat = amg_interp_ext_i(A, S.indptr, S.indices, cf, plus_i, 0.0, maxnnz)
+    assert P_nat is not None
+    P_ref = _numpy_interp(A, S, cf, plus_i=plus_i, max_nnz_row=maxnnz)
+    assert P_nat.shape == P_ref.shape
+    # identical untruncated weights (same formula, double accumulation);
+    # with top-k truncation tie-breaks may differ, so compare the row
+    # sums (preserved by both) and the overwhelming majority of entries
+    if maxnnz == 0:
+        d = abs(P_nat - P_ref)
+        assert d.max() if d.nnz else 0.0 <= 1e-10
+    else:
+        rs_nat = np.asarray(P_nat.sum(axis=1)).ravel()
+        rs_ref = np.asarray(P_ref.sum(axis=1)).ravel()
+        np.testing.assert_allclose(rs_nat, rs_ref, rtol=1e-9, atol=1e-12)
+        same = (abs(P_nat - P_ref) < 1e-10).sum() if (P_nat - P_ref).nnz \
+            else P_nat.nnz
+        assert P_nat.nnz == pytest.approx(P_ref.nnz, rel=0.05)
+
+
+def test_native_rap_matches_scipy():
+    from hypredrive_tpu.io.native import amg_rap
+    from hypredrive_tpu.precon.amg.strength import strength_graph
+    from hypredrive_tpu.precon.amg.coarsen import pmis
+    from hypredrive_tpu.precon.amg.interp import extended_i_interpolation
+
+    A = _rand_spd(500, 23, density=0.02)
+    S = strength_graph(A, theta=0.25)
+    cf = pmis(S, 0)
+    P = extended_i_interpolation(A, S, cf)
+    Ac_nat = amg_rap(A, sp.csr_matrix(P))
+    assert Ac_nat is not None
+    Ac_ref = sp.csr_matrix(P.T @ A @ P)
+    d = abs(Ac_nat - Ac_ref)
+    assert (d.max() if d.nnz else 0.0) < 1e-9
+
+
+def test_hierarchy_native_vs_numpy_iters():
+    """End-to-end: PCG+AMG iteration count identical with and without
+    the native setup kernels (the golden-stability guard)."""
+    import jax.numpy as jnp
+    from hypredrive_tpu.ops.csr import laplacian_3d_7pt
+    from hypredrive_tpu.ops.device_matrix import EllMatrix
+    from hypredrive_tpu.precon.amg.hierarchy import setup_hierarchy
+    from hypredrive_tpu.precon.amg.cycle import amg_apply
+    from hypredrive_tpu.solvers.pcg import _pcg_core
+    from hypredrive_tpu.config.sections import AMG_SCHEMA
+    import hypredrive_tpu.io.native as nat
+
+    A_host = laplacian_3d_7pt(12, dtype=np.float64)
+    n = A_host.shape[0]
+
+    def solve_iters():
+        A = EllMatrix.from_csr(A_host, dtype=jnp.float64)
+        state = setup_hierarchy(A_host, AMG_SCHEMA.defaults(),
+                                dtype=jnp.float64)
+        out = _pcg_core(lambda v: A.matvec(v),
+                        lambda r: amg_apply(state, r),
+                        jnp.ones(n, jnp.float64), jnp.zeros(n, jnp.float64),
+                        jnp.asarray(1e-8, jnp.float64),
+                        jnp.asarray(0.0, jnp.float64), 100, True, 0)
+        return int(out[1])
+
+    it_native = solve_iters()
+    orig = nat.get_lib
+    nat.get_lib = lambda: None
+    try:
+        it_numpy = solve_iters()
+    finally:
+        nat.get_lib = orig
+    assert abs(it_native - it_numpy) <= 1
