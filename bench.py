@@ -26,8 +26,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    cache = os.environ.get("HYPREDRV_CACHE_DIR",
-                           os.path.expanduser("~/.cache/hypredrive_tpu/jax"))
+    plat = os.environ.get("JAX_PLATFORMS", "default") or "default"
+    cache = os.path.join(
+        os.environ.get("HYPREDRV_CACHE_DIR",
+                       os.path.expanduser("~/.cache/hypredrive_tpu/jax")),
+        plat.replace(",", "_"))
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
@@ -68,9 +71,21 @@ def main():
             jnp.ones(Aw.shape[0], dtype)))
     backend_init_s = time.perf_counter() - t_init0
 
+    # warmup: on semantics (ref: docs/usrman-src/input_structure.rst:35
+    # "runs a warmup before the timed operation", help.c:905 "untimed
+    # warmup solve before measured solves") — one untimed full setup,
+    # then the measured one; the cold first-pass time is reported too.
     t_setup0 = time.perf_counter()
     A = EllMatrix.from_csr(A_host, dtype=dtype)
-    state = setup_hierarchy(A_host, AMG_SCHEMA.defaults(), dtype=dtype)
+    state = setup_hierarchy(A_host, AMG_SCHEMA.defaults(), dtype=dtype,
+                            fine_matrix=A)
+    jax.block_until_ready(jax.tree_util.tree_leaves(state)[:1])
+    setup_cold_time = time.perf_counter() - t_setup0
+    t_setup0 = time.perf_counter()
+    A = EllMatrix.from_csr(A_host, dtype=dtype)
+    state = setup_hierarchy(A_host, AMG_SCHEMA.defaults(), dtype=dtype,
+                            fine_matrix=A)
+    jax.block_until_ready(jax.tree_util.tree_leaves(state)[:1])
     setup_time = time.perf_counter() - t_setup0
 
     x = jnp.ones(n, dtype=dtype)
@@ -177,6 +192,7 @@ def main():
             "pcg_amg_iters_to_1e-8": iters_big,
             "pcg_amg_solve_s": round(solve_t, 4),
             "amg_setup_s": round(setup_time, 3),
+            "amg_setup_cold_s": round(setup_cold_time, 3),
             "backend_init_s": round(backend_init_s, 3),
             "stream_triad_gbs": round(stream_gbs, 2),
             # minimal-traffic model: D diagonal rows + x + y per SpMV

@@ -38,7 +38,7 @@ linear_system:
 solver:
   pcg:
     max_iter: 200
-    relative_tol: 1.0e-8
+    relative_tol: 1.0e-6
     print_level: 0
 
 preconditioner:

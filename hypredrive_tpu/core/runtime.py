@@ -45,11 +45,17 @@ def initialize(distributed: Optional[bool] = None, **dist_kwargs):
     try:
         import jax
 
-        cache_dir = os.environ.get(
-            "HYPREDRV_CACHE_DIR",
-            os.path.expanduser("~/.cache/hypredrive_tpu/jax"))
+        # partition by platform: axon/TPU executables are compiled by the
+        # remote service with its host's CPU features — loading those
+        # into a local-CPU process can SIGILL
+        plat = os.environ.get("JAX_PLATFORMS", "default") or "default"
+        cache_dir = os.path.join(
+            os.environ.get(
+                "HYPREDRV_CACHE_DIR",
+                os.path.expanduser("~/.cache/hypredrive_tpu/jax")),
+            plat.replace(",", "_"))
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception:
         pass
     if distributed is None:

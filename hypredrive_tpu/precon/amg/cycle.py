@@ -42,10 +42,12 @@ def _smooth(level: AMGLevel, x, b, sweeps: int, phase: str = "pre"):
         kind = level.up_smoother
         arrays = level.up_arrays
     if kind == "fsai":
-        # complex smoother (ref: amg.c:441-457): x += Gᵀ G (b − A x)
-        G, GT = arrays
+        # complex smoother (ref: amg.c:441-457): x += ω Gᵀ G (b − A x);
+        # ω = 1/λmax(GᵀG·A) keeps the sweep contractive (hypre FSAI
+        # eig_max_iters smoothing scale)
+        G, GT, omega = arrays
         for _ in range(sweeps):
-            x = x + GT.matvec(G.matvec(b - A.matvec(x)))
+            x = x + omega * GT.matvec(G.matvec(b - A.matvec(x)))
         return x
     if kind in ("gs-fwd", "gs-bwd", "gs-sym"):
         # hybrid Gauss-Seidel: x += (D+L)⁻¹(b−Ax) with Jacobi-iterated

@@ -244,7 +244,8 @@ def _aggressive_interpolation(A_l, S, cf1, itp, lvl, ctype, theta, sabs,
 def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
                     dof_func: Optional[np.ndarray] = None,
                     interp_vectors: Optional[np.ndarray] = None,
-                    mesh=None) -> AMGState:
+                    mesh=None, fine_matrix: Optional[EllMatrix] = None
+                    ) -> AMGState:
     """Build the multigrid hierarchy from the AMG config Args
     (schema: config/sections.py AMG_SCHEMA; ref arg structs amg.h:23-123).
 
@@ -280,15 +281,23 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
                 with deferred_assembly() as ctx:
                     state = _setup_hierarchy_impl(
                         A_host, amg_args, dtype, dof_func, interp_vectors,
-                        None)
+                        None, fine_matrix=fine_matrix)
             ctx.finalize(target)
             return batched_device_put(state, target)
     return _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
-                                 interp_vectors, mesh)
+                                 interp_vectors, mesh,
+                                 fine_matrix=fine_matrix)
 
 
 def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
-                          interp_vectors, mesh, xfer=None) -> AMGState:
+                          interp_vectors, mesh, xfer=None,
+                          fine_matrix=None) -> AMGState:
+    # reuse an already-built device matrix for the finest level (the
+    # solver wrapper and level 0 share the same operator)
+    if fine_matrix is not None and (
+            not isinstance(fine_matrix, EllMatrix)
+            or fine_matrix.dtype != jnp.dtype(dtype)):
+        fine_matrix = None
     if xfer is None:
         xfer = lambda t: t
     csn = amg_args.coarsening
@@ -442,7 +451,8 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
 
                     cmgr = contextlib.nullcontext()
                 with cmgr:
-                    E = EllMatrix.from_csr(A_l, dtype=dtype)
+                    E = (fine_matrix if lvl == 0 and fine_matrix is not None
+                         else EllMatrix.from_csr(A_l, dtype=dtype))
                     lvl_kind = kind
                     sm = None
                     if lvl < smoother_levels \
@@ -453,13 +463,42 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
                         from ..fsai import build_fsai
 
                         fs = amg_args.smoother.fsai
-                        G, GT = build_fsai(
-                            A_l,
-                            max_nnz_row=(int(fs.max_steps)
-                                         * int(fs.max_step_size)),
-                            threshold=float(fs.kap_tolerance), dtype=dtype)
+                        if int(fs.algo_type) in (1, 3):
+                            from ..fsai import build_fsai_adaptive
+
+                            G, GT = build_fsai_adaptive(
+                                A_l, max_steps=int(fs.max_steps),
+                                max_step_size=int(fs.max_step_size),
+                                kap_tolerance=float(fs.kap_tolerance),
+                                dtype=dtype)
+                        else:
+                            G, GT = build_fsai(
+                                A_l,
+                                max_nnz_row=(int(fs.max_steps)
+                                             * int(fs.max_step_size)),
+                                threshold=float(fs.kap_tolerance),
+                                dtype=dtype)
+                        # smoother damping ω = 1/λmax(GᵀG·A), estimated
+                        # with eig_max_iters power steps (hypre's FSAI
+                        # SetEigMaxIters smoothing scale; ref fsai.c
+                        # field list eig_max_iters)
+                        omega = 1.0
+                        eig_iters = int(fs.eig_max_iters)
+                        if eig_iters > 0:
+                            Gh = G.to_csr()
+                            rng = np.random.default_rng(0)
+                            v = rng.standard_normal(A_l.shape[0])
+                            lam = 1.0
+                            for _ in range(eig_iters):
+                                w = Gh.T @ (Gh @ (A_l @ v))
+                                lam = float(np.linalg.norm(w))
+                                if lam == 0:
+                                    lam = 1.0
+                                    break
+                                v = w / lam
+                            omega = 1.0 / lam
                         lvl_kind = "fsai"
-                        sm = (G, GT)
+                        sm = (G, GT, jnp.asarray(omega, dtype))
                     if sm is None:
                         sm = _smoother_arrays(kind, A_l, E, rlx.chebyshev,
                                               weight, fmask)

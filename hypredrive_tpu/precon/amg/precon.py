@@ -39,9 +39,13 @@ class AMGPrecon(Preconditioner):
         ctx = (jax.default_device(system.device)
                if getattr(system, "device", None) is not None
                else contextlib.nullcontext())
+        # the finest level reuses the solver's device matrix when the
+        # preconditioner operates on A itself (M_host None => M = A)
+        fine = system.A if system.M_host is None else None
         with ctx:
             self.state = setup_hierarchy(
                 A_host, self.args, dtype=system.dtype, dof_func=dof_func,
-                interp_vectors=getattr(system, "near_nullspace", None))
+                interp_vectors=getattr(system, "near_nullspace", None),
+                fine_matrix=fine)
         log(2, hierarchy_summary(self.state))
         self.is_setup = True

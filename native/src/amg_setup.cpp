@@ -23,6 +23,7 @@
 #include <cstring>
 #include <limits>
 #include <new>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -506,42 +507,69 @@ hdrv_rap_handle *hdrv_rap_begin(int64_t n, const int64_t *a_indptr,
   if (!h->indptr || !h->indices || !h->data) return h;
   h->nC = nC;
 
-  // T = A·P  (n × nC), row-wise with dense accumulator
+  // T = A·P  (n × nC), row-wise with dense accumulator, split across
+  // two threads (row ranges; each writes a private output then the
+  // halves are stitched)
   std::vector<int64_t> t_indptr((size_t)n + 1, 0);
   std::vector<int64_t> t_indices;
   std::vector<double> t_data;
-  t_indices.reserve((size_t)(p_indptr[n] * 3));
-  t_data.reserve((size_t)(p_indptr[n] * 3));
   {
-    std::vector<double> acc((size_t)nC, 0.0);
-    std::vector<int64_t> touched;
-    touched.reserve(256);
-    for (int64_t i = 0; i < n; ++i) {
-      touched.clear();
-      for (int64_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
-        const int64_t k = a_indices[p];
-        const double av = a_is_f32 ? (double)((const float *)a_data)[p]
-                                   : ((const double *)a_data)[p];
-        for (int64_t q = p_indptr[k]; q < p_indptr[k + 1]; ++q) {
-          const int64_t c = p_indices[q];
-          if (acc[(size_t)c] == 0.0 && !std::signbit(acc[(size_t)c]))
-            touched.push_back(c);
-          acc[(size_t)c] += av * p_data[q];
-          if (acc[(size_t)c] == 0.0)
-            acc[(size_t)c] = -0.0;  // keep membership mark on cancellation
+    auto t_worker = [&](int64_t r0, int64_t r1,
+                        std::vector<int64_t> &loc_cnt,
+                        std::vector<int64_t> &loc_idx,
+                        std::vector<double> &loc_dat) {
+      std::vector<double> acc((size_t)nC, 0.0);
+      std::vector<int64_t> touched;
+      touched.reserve(256);
+      loc_idx.reserve((size_t)((p_indptr[n] * 3) / 2));
+      loc_dat.reserve((size_t)((p_indptr[n] * 3) / 2));
+      for (int64_t i = r0; i < r1; ++i) {
+        touched.clear();
+        for (int64_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+          const int64_t k = a_indices[p];
+          const double av = a_is_f32 ? (double)((const float *)a_data)[p]
+                                     : ((const double *)a_data)[p];
+          for (int64_t q = p_indptr[k]; q < p_indptr[k + 1]; ++q) {
+            const int64_t c = p_indices[q];
+            if (acc[(size_t)c] == 0.0 && !std::signbit(acc[(size_t)c]))
+              touched.push_back(c);
+            acc[(size_t)c] += av * p_data[q];
+            if (acc[(size_t)c] == 0.0)
+              acc[(size_t)c] = -0.0;  // keep membership on cancellation
+          }
         }
+        std::sort(touched.begin(), touched.end());
+        for (int64_t c : touched) {
+          loc_idx.push_back(c);
+          loc_dat.push_back(acc[(size_t)c]);
+          acc[(size_t)c] = 0.0;
+        }
+        loc_cnt[(size_t)(i - r0)] = (int64_t)touched.size();
       }
-      std::sort(touched.begin(), touched.end());
-      int64_t prev = -1;
-      for (int64_t c : touched) {
-        if (c == prev) continue;
-        prev = c;
-        t_indices.push_back(c);
-        t_data.push_back(acc[(size_t)c]);
-        acc[(size_t)c] = 0.0;
-      }
-      t_indptr[(size_t)i + 1] = (int64_t)t_indices.size();
-    }
+    };
+    const int64_t mid = n / 2;
+    std::vector<int64_t> cnt0((size_t)(mid > 0 ? mid : 0)),
+        cnt1((size_t)(n - mid));
+    std::vector<int64_t> idx0, idx1;
+    std::vector<double> dat0, dat1;
+    std::thread th(t_worker, 0, mid, std::ref(cnt0), std::ref(idx0),
+                   std::ref(dat0));
+    t_worker(mid, n, cnt1, idx1, dat1);
+    th.join();
+    for (int64_t i = 0; i < mid; ++i)
+      t_indptr[(size_t)i + 1] = t_indptr[(size_t)i] + cnt0[(size_t)i];
+    for (int64_t i = mid; i < n; ++i)
+      t_indptr[(size_t)i + 1] =
+          t_indptr[(size_t)i] + cnt1[(size_t)(i - mid)];
+    t_indices.resize((size_t)t_indptr[(size_t)n]);
+    t_data.resize((size_t)t_indptr[(size_t)n]);
+    std::memcpy(t_indices.data(), idx0.data(),
+                sizeof(int64_t) * idx0.size());
+    std::memcpy(t_data.data(), dat0.data(), sizeof(double) * dat0.size());
+    std::memcpy(t_indices.data() + idx0.size(), idx1.data(),
+                sizeof(int64_t) * idx1.size());
+    std::memcpy(t_data.data() + dat0.size(), dat1.data(),
+                sizeof(double) * dat1.size());
   }
 
   // Pᵀ via counting transpose (fine rows grouped by coarse col)

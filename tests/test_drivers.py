@@ -37,17 +37,22 @@ def test_laplacian_driver(capsys):
 
 
 def test_elasticity_driver(capsys):
+    """Real 3-D elasticity (12x6x6 cells = 13x7x7 nodes, ~3.2k dofs)
+    against the reference's 21-iteration profile
+    (ref: examples/refOutput/elasticity.txt: 30x10x10 nodes, 21 iters —
+    at that full size this framework measures 17 iters @ 4.5e-07, see
+    PARITY.md)."""
     import elasticity
 
-    rc = elasticity.main(["--nx", "4", "--ny", "2", "--nz", "2",
+    rc = elasticity.main(["--nx", "12", "--ny", "6", "--nz", "6",
                           "--solves", "2"])
     assert rc == 0
     out = capsys.readouterr().out
     iters = _iters_column(out)
     assert len(iters) == 2
-    # RBM-informed AMG on elasticity: small grid converges well under the
-    # reference's 21-iteration class (ref: examples/refOutput/elasticity.txt)
-    assert all(i <= 25 for i in iters)
+    # within the reference's 21-iteration class on a genuinely 3-D grid
+    assert all(i <= 21 for i in iters), iters
+    assert all(i >= 5 for i in iters), iters   # a real problem, not toy
     # repeated solves are deterministic
     assert iters[0] == iters[1]
 

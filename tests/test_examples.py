@@ -5,9 +5,10 @@ compared by scripts/compare_output.sh:41-66): **iteration counts and
 residual norms are the stable contract — times are never compared.**
 
 Goldens were recorded from this framework on the generated datasets
-(`scripts/generate_data.py`); iteration counts are allowed a ±2 slack to
+(`scripts/generate_data.py`); iteration counts are allowed a ±1 slack to
 absorb cross-platform reduction-order drift, residual norms only need to
-stay under the documented ceiling.
+stay under the documented ceiling.  Reference parity lives in PARITY.md
+(scripts/parity_report.py).
 """
 
 import os
@@ -32,7 +33,7 @@ GOLDEN = {
     "ex7.yml": [(4, 1e-6), (3, 1e-5), (3, 1e-5), (3, 1e-5),
                 (3, 1e-5), (3, 1e-5), (3, 1e-6), (3, 1e-6)],
     # reference sweep is 7/6/6/7/6 (examples/refOutput/ex8.txt)
-    "ex8.yml": [(7, 1e-8), (6, 1e-8), (7, 1e-8), (8, 1e-8), (6, 1e-8)],
+    "ex8.yml": [(7, 1e-8), (6, 1e-8), (7, 1e-8), (6, 1e-8), (6, 1e-8)],
 }
 
 
@@ -64,7 +65,7 @@ def test_example_golden(config):
     assert len(entries) == len(golden), \
         f"{config}: {len(entries)} entries, expected {len(golden)}"
     for i, (e, (g_iters, g_ceiling)) in enumerate(zip(entries, golden)):
-        assert abs(e.iters - g_iters) <= 2, \
+        assert abs(e.iters - g_iters) <= 1, \
             f"{config} entry {i}: {e.iters} iters vs golden {g_iters}"
         assert e.rel_res_norm < g_ceiling, \
             f"{config} entry {i}: relres {e.rel_res_norm:.2e} > {g_ceiling}"
