@@ -97,18 +97,22 @@ def main():
     # are forced readbacks (np.asarray).
 
     # ---- device stream calibration (roofline context) ---------------------
-    # saxpy over an HBM-sized operand: the achievable-bandwidth yardstick
-    # the SpMV numbers should be read against.
+    # triad over an HBM-sized operand (w' = v + 2w reads v,w and writes
+    # w: 3 accesses/element/rep).  The loop returns a SCALAR — pulling
+    # the 64 MB result back through the remote-TPU tunnel used to
+    # dominate the measurement and made the "bandwidth" nonsense.
     @jax.jit
     def stream_loop(u, v, n_reps):
-        return jax.lax.fori_loop(0, n_reps, lambda _, w: v + 2.0 * w, u)
+        w = jax.lax.fori_loop(0, n_reps, lambda _, w: v + 2.0 * w, u)
+        return jnp.sum(w)      # one extra pass per CALL, not per rep
 
     ns = 1 << 24
+    sreps = 100
     u = jnp.ones(ns, dtype); v = jnp.ones(ns, dtype)
     np.asarray(stream_loop(u, v, 2))
     t0 = time.perf_counter()
-    np.asarray(stream_loop(u, v, 50))
-    stream_gbs = ns * 4 * 3 / ((time.perf_counter() - t0) / 50) / 1e9
+    np.asarray(stream_loop(u, v, sreps))
+    stream_gbs = ns * 4 * 3 / ((time.perf_counter() - t0) / sreps) / 1e9
 
     # ---- SpMV throughput -------------------------------------------------
     @jax.jit

@@ -380,10 +380,24 @@ def setup_mgr(A_host: sp.csr_matrix, args, dofmap: Optional[np.ndarray],
         p_type = int(cfg.prolongation_type)
         r_type = int(cfg.restriction_type)
         # block size for blk-jacobi/cpr-like transfers: the number of
-        # distinct F labels per cell (interleaved dof ordering)
+        # distinct F labels per cell, validated against the actual label
+        # layout (interleaved dof ordering => the F labels repeat with
+        # period bsize).  A non-uniform layout degrades the transfer to
+        # diagonal — with a warning, not silently (the reference's
+        # blk-jacobi assumes a block-ordered unknown layout, mgr.c).
         bsize = len(set(f_labels))
-        if nF % max(1, bsize) != 0:
-            bsize = 1
+        if bsize > 1:
+            f_lab = np.asarray(labels)[f_rows]
+            uniform = (nF % bsize == 0) and bool(
+                np.all(f_lab.reshape(-1, bsize) == f_lab[:bsize]))
+            if not uniform:
+                wants_block = p_type == 12 or r_type in (12, 13)
+                if wants_block:
+                    log(2, f"mgr level {key}: non-uniform dof-label "
+                           f"layout (nF={nF}, {bsize} F labels) — "
+                           "blk-jacobi/cpr-like transfer degrades to "
+                           "diagonal")
+                bsize = 1
         W_p, W_r = _build_transfers(A_ff, A_fc, A_cf, A_cc, p_type, r_type,
                                     nF, nC, bsize)
         P = _assemble_P(W_p, f_rows, c_rows, n, nC)

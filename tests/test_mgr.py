@@ -262,3 +262,38 @@ def test_mgr_component_reuse_keeps_cached_solver():
     s2 = setup_mgr(A, args2, dofmap, component_cache=cache2, setup_index=0)
     s3 = setup_mgr(A, args2, dofmap, component_cache=cache2, setup_index=1)
     assert s3.levels[0].f_state is not s2.levels[0].f_state
+
+
+def test_mgr_blk_jacobi_nonuniform_labels_degrades_with_warning():
+    """A blk-jacobi transfer on a NON-uniform dof-label layout must
+    degrade to the diagonal transfer loudly, not silently
+    (the reference's blk-jacobi assumes block-ordered unknowns)."""
+    import io
+    import numpy as np
+    import scipy.sparse as sp
+    from hypredrive_tpu.core.logging import logger
+    from hypredrive_tpu.precon.mgr import setup_mgr
+
+    rng = np.random.default_rng(3)
+    n = 90
+    A = sp.random(n, n, density=0.05, random_state=rng, format="csr")
+    A = sp.csr_matrix(A + A.T + sp.identity(n) * 10.0)
+    # non-uniform layout: the F labels (1,1,2 repeating) are NOT
+    # periodic with period 2 = #distinct F labels
+    dofmap = np.concatenate([np.zeros(n // 3, np.int64),
+                             np.tile([1, 1, 2], n // 3)])[:n]
+    args = {
+        "level": {0: {"f_dofs": [1, 2],
+                      "prolongation_type": "blk-jacobi",
+                      "restriction_type": "blk-jacobi"}},
+        "coarsest_level": "amg",
+    }
+    buf = io.StringIO()
+    old_level, old_stream = logger.level, logger.stream
+    logger.level, logger.stream = 2, buf
+    try:
+        state = setup_mgr(A, args, dofmap)
+    finally:
+        logger.level, logger.stream = old_level, old_stream
+    assert state is not None
+    assert "degrades to diagonal" in buf.getvalue()
