@@ -407,7 +407,12 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
         if V_l is not None:
             from .rbm import augment_interpolation
 
-            P, V_c = augment_interpolation(P, cf, V_l)
+            # GM2 pattern growth: the reference pins QMax=4 when RBMs
+            # are active (ref: amg.c:1025 SetInterpVecQMax(4))
+            qmax = int(getattr(amg_args, "interp_vec_qmax", 0))
+            if qmax <= 0 and int(amg_args.interp_vec_variant) == 2:
+                qmax = 4
+            P, V_c = augment_interpolation(P, cf, V_l, A=A_l, qmax=qmax)
         R_air = build_restriction(A_l, cf, restriction_type,
                                   restrict_th, restrict_filter)
         R = R_air if R_air is not None else sp.csr_matrix(P.T)

@@ -29,13 +29,76 @@ import numpy as np
 import scipy.sparse as sp
 
 
+def _grow_pattern(P: sp.csr_matrix, cf: np.ndarray, V: np.ndarray,
+                  Vc: np.ndarray, A: sp.csr_matrix, qmax: int
+                  ) -> sp.csr_matrix:
+    """GM2 pattern expansion (ref: amg.c:1025 SetInterpVecQMax(4) and
+    hypre interp_vec_variant 2): each F row may gain up to ``qmax`` NEW
+    interpolation entries, chosen from the distance-2 C-points (the
+    coarse columns reachable through the row's A-neighbors) that best
+    fit the row's residual mode constraints.  New entries start at
+    weight 0 — the min-norm correction then distributes over the grown
+    pattern, recovering the rotational modes that the distance-1
+    pattern cannot represent."""
+    n, nC = P.shape
+    F = np.flatnonzero(cf < 0)
+    # residual of the mode constraints on the current pattern
+    R = V[F] - (P[F] @ Vc)                       # (nF, k)
+    # candidate pattern: |A[F]| @ |P| minus existing P[F]
+    pat = sp.csr_matrix(
+        (np.ones(A.nnz, np.int8), A.indices, A.indptr), shape=A.shape)[F]
+    ppat = sp.csr_matrix(
+        (np.ones(P.nnz, np.int8), P.indices, P.indptr), shape=P.shape)
+    cand = sp.csr_matrix(pat @ ppat, dtype=np.int8)
+    cand = sp.csr_matrix(cand - cand.multiply(ppat[F]))  # drop existing
+    cand.eliminate_zeros()
+    cand.sort_indices()
+    if cand.nnz == 0:
+        return P
+    rows_c = np.repeat(np.arange(len(F)), np.diff(cand.indptr))
+    cols_c = cand.indices
+    # score = |<Vc[j], r_i>| / ||Vc[j]||
+    num = np.abs(np.einsum("ek,ek->e", Vc[cols_c], R[rows_c]))
+    den = np.linalg.norm(Vc[cols_c], axis=1) + 1e-300
+    score = num / den
+    # top-qmax per row (grouped argpartition over equal-length rows)
+    counts = np.diff(cand.indptr)
+    take = np.zeros(cand.nnz, bool)
+    for m in np.unique(counts):
+        if m == 0:
+            continue
+        grp = np.flatnonzero(counts == m)
+        idx = cand.indptr[grp][:, None] + np.arange(m)[None, :]
+        if m <= qmax:
+            take[idx.ravel()] = True
+            continue
+        part = np.argpartition(-score[idx], qmax - 1, axis=1)[:, :qmax]
+        take[np.take_along_axis(idx, part, axis=1).ravel()] = True
+    take &= score > 1e-14
+    add_r = F[rows_c[take]]
+    add_c = cols_c[take]
+    if len(add_r) == 0:
+        return P
+    Pc = P.tocoo()
+    out = sp.csr_matrix(
+        (np.concatenate([Pc.data, np.zeros(len(add_r))]),
+         (np.concatenate([Pc.row, add_r]),
+          np.concatenate([Pc.col, add_c]))), shape=P.shape)
+    out.sum_duplicates()
+    out.sort_indices()
+    return out
+
+
 def augment_interpolation(P: sp.csr_matrix, cf: np.ndarray,
-                          V: np.ndarray, rcond: float = 1e-10
+                          V: np.ndarray, rcond: float = 1e-10,
+                          A: sp.csr_matrix = None, qmax: int = 0
                           ) -> Tuple[sp.csr_matrix, np.ndarray]:
     """Return (P', V_coarse): P' exactly (or best-fit) interpolates V.
 
     P: (n, nC) with identity C rows; cf: PMIS marks (>0 C, <0 F);
-    V: (n, k) near-null-space vectors (columns = modes).
+    V: (n, k) near-null-space vectors (columns = modes); with ``qmax``
+    > 0 and the level operator ``A`` given, each F row may first gain up
+    to qmax new entries (GM2 pattern growth, ref amg.c:1025).
     """
     V = np.atleast_2d(np.asarray(V, dtype=np.float64))
     if V.shape[0] != P.shape[0]:
@@ -47,6 +110,9 @@ def augment_interpolation(P: sp.csr_matrix, cf: np.ndarray,
 
     P = P.tocsr().copy()
     P.sort_indices()
+    if qmax > 0 and A is not None and len(F):
+        P = _grow_pattern(P, cf, V, Vc, sp.csr_matrix(A), qmax).copy()
+        P.sort_indices()
     indptr, indices, data = P.indptr, P.indices, P.data
 
     counts = np.diff(indptr)
