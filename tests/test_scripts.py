@@ -6,10 +6,13 @@ outputs (ref: scripts/analyze_statistics.py, scripts/compare_output.sh).
 
 import importlib.util
 import os
+import subprocess
+import sys
 
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = os.path.join(REPO, "scripts")
 
 
 def _load(name):
@@ -90,3 +93,66 @@ def test_spmat_reorder_roundtrip(tmp_path):
     # cheaply via row-sum invariants and symmetry)
     assert np.isclose(B.sum(), A.sum())
     assert abs(B - B.T).max() < 1e-14
+
+
+def test_job_launcher_dry_run(tmp_path):
+    r = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "job_launcher.py"),
+         "--dry-run", "-s", "slurm", "-N", "2", "examples/ex1.yml"],
+        capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 0, r.stderr
+    assert "JAX_COORDINATOR_ADDRESS" in r.stdout
+    assert "sbatch" not in r.stdout  # dry run prints, does not submit
+    r = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "job_launcher.py"),
+         "--dry-run", "-s", "local", "examples/ex1.yml"],
+        capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 0 and "hypredrive_tpu.cli" in r.stdout
+
+
+def test_parse_logs_stats(tmp_path):
+    log = tmp_path / "run.log"
+    log.write_text(
+        "|      0 |       0.228 |       2.175 |       0.591 |"
+        "   3.16e+01 |   9.44e-07 |      5 |\n"
+        "|    1.1 |       0.003 |       0.008 |       0.004 |"
+        "   3.50e-02 |   6.48e-10 |      4 |\n")
+    r = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "parse_logs.py"),
+         "stats", str(log)],
+        capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 0, r.stderr
+    assert "5" in r.stdout and "1.1" in r.stdout
+
+
+def test_analyze_caliper_on_synthetic_trace(tmp_path):
+    import gzip
+    import json
+
+    trace = {"traceEvents": [
+        {"ph": "X", "name": "fusion.42", "dur": 1500},
+        {"ph": "X", "name": "dynamic-slice.3", "dur": 300},
+        {"ph": "X", "name": "fusion.43", "dur": 700},
+        {"ph": "M", "name": "meta"},
+    ]}
+    d = tmp_path / "plugins"
+    d.mkdir()
+    with gzip.open(tmp_path / "t.trace.json.gz", "wt") as f:
+        json.dump(trace, f)
+    r = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "analyze_caliper.py"),
+         str(tmp_path)],
+        capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 0, r.stderr
+    assert "fusion" in r.stdout and "2.20" in r.stdout
+
+
+def test_generate_example_output(tmp_path):
+    r = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "generate_example_output.py"),
+         str(tmp_path)],
+        capture_output=True, text=True, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr
+    out = (tmp_path / "ex1.txt").read_text()
+    assert "STATISTICS SUMMARY" in out
+    assert "MASKED" in out          # times normalized away
