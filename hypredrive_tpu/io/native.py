@@ -154,6 +154,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.hdrv_rap_fill.argtypes = [ctypes.c_void_p, i64p, i64p, f64p]
         lib.hdrv_rap_end.restype = None
         lib.hdrv_rap_end.argtypes = [ctypes.c_void_p]
+        lib.hdrv_lz4_compress.restype = ctypes.c_int64
+        lib.hdrv_lz4_compress.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int64]
+        lib.hdrv_lz4_decompress.restype = ctypes.c_int64
+        lib.hdrv_lz4_decompress.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int64]
         _lib = lib
         return _lib
 

@@ -90,6 +90,117 @@ def _gather_spmv_call(shape_info, pass_tile, pass_first, q0,
     )(pass_tile, pass_first, q0, lane, val, x_pad)
 
 
+def _two_sum(a_hi, a_lo, b_hi, b_lo):
+    """Knuth TwoSum of two double-single values (no FMA needed)."""
+    s = a_hi + b_hi
+    bb = s - a_hi
+    err = (a_hi - (s - bb)) + (b_hi - bb)
+    lo = err + a_lo + b_lo
+    hi = s + lo
+    lo = lo - (hi - s)
+    return hi, lo
+
+
+def _split_mul(a, b):
+    """Dekker two-product a*b -> (hi, lo) in f32 (Veltkamp splitting;
+    exact without FMA)."""
+    c = jnp.float32(4097.0)  # 2^12 + 1 for f32 (24-bit mantissa)
+    a1 = (a * c) - ((a * c) - a)
+    a2 = a - a1
+    b1 = (b * c) - ((b * c) - b)
+    b2 = b - b1
+    p = a * b
+    e = ((a1 * b1 - p) + a1 * b2 + a2 * b1) + a2 * b2
+    return p, e
+
+
+def _make_kernel_ds(G):
+    """Double-single (split-f32) variant of the gather kernel: values
+    and the accumulator are (hi, lo) f32 pairs, products use Dekker
+    two-products and sums compensate with TwoSum — f64-quality SpMV on
+    a Mosaic that has no 64-bit (the plan's ROADMAP #4 / verdict #9).
+    ~20 VPU ops per entry instead of 2; still two orders of magnitude
+    over the XLA scalar-gather f64 path."""
+    def _kernel(tile_ref, first_ref, q0_ref, lane_ref, vh_ref, vl_ref,
+                xh_ref, xl_ref, yh_ref, yl_ref):
+        from jax.experimental import pallas as pl
+
+        i = pl.program_id(0)
+
+        @pl.when(first_ref[i * G] == 1)
+        def _():
+            yh_ref[...] = jnp.zeros_like(yh_ref)
+            yl_ref[...] = jnp.zeros_like(yl_ref)
+
+        win_h = jnp.concatenate(
+            [xh_ref[pl.ds(q0_ref[i * 8 * G + j], 1), :]
+             for j in range(8 * G)], axis=0)
+        win_l = jnp.concatenate(
+            [xl_ref[pl.ds(q0_ref[i * 8 * G + j], 1), :]
+             for j in range(8 * G)], axis=0)
+        lane = lane_ref[...].reshape(G * 8, 128).astype(jnp.int32)
+        gh = jnp.take_along_axis(win_h, lane, axis=1)
+        gl = jnp.take_along_axis(win_l, lane, axis=1)
+        vh = vh_ref[...].reshape(G * 8, 128)
+        vl = vl_ref[...].reshape(G * 8, 128)
+        # (vh+vl)·(gh+gl) = Dekker(vh,gh) + vh·gl + vl·gh (+ vl·gl ~ 0)
+        p, e = _split_mul(vh, gh)
+        e = e + vh * gl + vl * gh
+        p = p.reshape(G, 8, 128)
+        e = e.reshape(G, 8, 128)
+        # compensated fold over the G passes, then into the accumulator
+        s_hi, s_lo = yh_ref[...], yl_ref[...]
+        for g in range(G):
+            s_hi, s_lo = _two_sum(s_hi, s_lo, p[g], e[g])
+        yh_ref[...] = s_hi
+        yl_ref[...] = s_lo
+    return _kernel
+
+
+@partial(jax.jit, static_argnums=(0, 8))
+def _gather_spmv_call_ds(shape_info, pass_tile, pass_first, q0,
+                         lane, val_hi, val_lo, x_pair, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x_hi, x_lo = x_pair
+    n_row_tiles, NP, G = shape_info
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(NP // G,),
+        in_specs=[
+            pl.BlockSpec((G, 8, 128), lambda i, t, f, q: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 8, 128), lambda i, t, f, q: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 8, 128), lambda i, t, f, q: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # x_hi, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # x_lo, whole
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i, t, f, q: (t[i * G], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, t, f, q: (t[i * G], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        _make_kernel_ds(G),
+        out_shape=[jax.ShapeDtypeStruct((n_row_tiles * 8, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((n_row_tiles * 8, 128), jnp.float32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(pass_tile, pass_first, q0, lane, val_hi, val_lo, x_hi, x_lo)
+
+
+def split_f64(x):
+    """f64 array -> (hi, lo) f32 pair with hi + lo == x (exactly in f64)."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
 # ---------------------------------------------------------------------------
 # On-device tile assembly.  The plan ships PACKED (slot, lane, val)
 # entries (~9 B/nnz); the dense (NP, 8, 128) tiles the kernel reads are

@@ -546,3 +546,136 @@ void hdrv_plan_fill_packed(const hdrv_plan_handle *h, int32_t *pass_tile,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// LZ4 block codec (raw block format, as LZ4_compress_default /
+// LZ4_decompress_safe produce/consume).  The reference compresses lsseq
+// blobs with exactly this block format plus a uint64 original-size
+// prefix (ref: src/internal/comp.c:258-340 compress_lz4/lz4hc) — this
+// clean-room implementation reads/writes the same byte stream so
+// reference-produced .lz4/.lz4hc containers interoperate.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Greedy hash-table encoder (12-bit hash of 4-byte windows, step-1
+// search).  Returns compressed size, or -1 if dst is too small.
+int64_t hdrv_lz4_compress(const uint8_t *src, int64_t n, uint8_t *dst,
+                          int64_t dst_cap) {
+  const int64_t MINMATCH = 4;
+  const int64_t MFLIMIT = 12;    // last 12 bytes are always literals
+  int64_t ht[1 << 12];
+  for (int64_t i = 0; i < (1 << 12); ++i) ht[i] = -1;
+  int64_t ip = 0, anchor = 0, op = 0;
+
+  auto hash4 = [&](int64_t p) -> uint32_t {
+    uint32_t v = (uint32_t)src[p] | ((uint32_t)src[p + 1] << 8) |
+                 ((uint32_t)src[p + 2] << 16) | ((uint32_t)src[p + 3] << 24);
+    return (v * 2654435761u) >> 20;
+  };
+  auto emit = [&](int64_t lit_len, int64_t match_len, int64_t offset) -> bool {
+    // token + literal length
+    int64_t need = 1 + lit_len / 255 + 1 + lit_len + 2 + match_len / 255 + 1;
+    if (op + need >= dst_cap) return false;
+    uint8_t token = 0;
+    token = (uint8_t)((lit_len >= 15 ? 15 : lit_len) << 4);
+    if (match_len >= 0)
+      token |= (uint8_t)((match_len - MINMATCH) >= 15
+                             ? 15
+                             : (match_len - MINMATCH));
+    dst[op++] = token;
+    if (lit_len >= 15) {
+      int64_t rest = lit_len - 15;
+      while (rest >= 255) {
+        dst[op++] = 255;
+        rest -= 255;
+      }
+      dst[op++] = (uint8_t)rest;
+    }
+    memcpy(dst + op, src + anchor, (size_t)lit_len);
+    op += lit_len;
+    if (match_len >= 0) {
+      dst[op++] = (uint8_t)(offset & 0xff);
+      dst[op++] = (uint8_t)((offset >> 8) & 0xff);
+      int64_t rest = match_len - MINMATCH;
+      if (rest >= 15) {
+        rest -= 15;
+        while (rest >= 255) {
+          dst[op++] = 255;
+          rest -= 255;
+        }
+        dst[op++] = (uint8_t)rest;
+      }
+    }
+    return true;
+  };
+
+  if (n >= MFLIMIT) {
+    while (ip < n - MFLIMIT) {
+      uint32_t h = hash4(ip);
+      int64_t cand = ht[h];
+      ht[h] = ip;
+      if (cand >= 0 && ip - cand <= 65535 &&
+          memcmp(src + cand, src + ip, 4) == 0) {
+        // extend the match (respect the end margin)
+        int64_t mlen = 4;
+        const int64_t limit = n - 5;   // last 5 bytes: literals only
+        while (ip + mlen < limit && src[cand + mlen] == src[ip + mlen])
+          ++mlen;
+        if (!emit(ip - anchor, mlen, ip - cand)) return -1;
+        ip += mlen;
+        anchor = ip;
+        continue;
+      }
+      ++ip;
+    }
+  }
+  // trailing literals (always at least the last MFLIMIT bytes)
+  if (!emit(n - anchor, -1, 0)) return -1;
+  return op;
+}
+
+// Safe decoder; returns decompressed size or -1 on malformed input.
+int64_t hdrv_lz4_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
+                            int64_t dst_cap) {
+  int64_t ip = 0, op = 0;
+  while (ip < n) {
+    uint8_t token = src[ip++];
+    int64_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (ip >= n) return -1;
+        b = src[ip++];
+        lit += b;
+      } while (b == 255);
+    }
+    if (ip + lit > n || op + lit > dst_cap) return -1;
+    memcpy(dst + op, src + ip, (size_t)lit);
+    ip += lit;
+    op += lit;
+    if (ip >= n) break;               // last sequence: literals only
+    if (ip + 2 > n) return -1;
+    int64_t offset = (int64_t)src[ip] | ((int64_t)src[ip + 1] << 8);
+    ip += 2;
+    if (offset == 0 || offset > op) return -1;
+    int64_t mlen = (token & 15) + 4;
+    if ((token & 15) == 15) {
+      uint8_t b;
+      do {
+        if (ip >= n) return -1;
+        b = src[ip++];
+        mlen += b;
+      } while (b == 255);
+    }
+    if (op + mlen > dst_cap) return -1;
+    // overlapping copy must be byte-wise
+    for (int64_t k = 0; k < mlen; ++k) {
+      dst[op + k] = dst[op + k - offset];
+    }
+    op += mlen;
+  }
+  return op;
+}
+
+}  // extern "C"
