@@ -38,7 +38,7 @@ def test_c_example_lifecycle(tmp_path):
     env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run([exe], capture_output=True, text=True, env=env,
-                       timeout=300, cwd=REPO)
+                       timeout=600, cwd=REPO)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "PASSED" in r.stdout
     assert "bad-config rc=" in r.stdout  # typed failure path exercised
