@@ -143,10 +143,10 @@ class EllMatrix:
             from .pallas_spmv import _backend_supports_pallas
 
             # the gather plan only pays off on the Mosaic path; on CPU
-            # (tests, f64 parity) ELL+tail is both faster to build and
-            # faster to run — skip plan construction entirely
-            is64 = jnp.dtype(dtype).itemsize == 8
-            if is64 or not _backend_supports_pallas():
+            # (tests) ELL+tail is both faster to build and faster to
+            # run — skip plan construction entirely.  f64 on a Mosaic
+            # backend uses the double-single (split-f32) kernel variant.
+            if not _backend_supports_pallas():
                 layout = "ell"
         if layout == "auto":
             from .gather_plan import build_plan

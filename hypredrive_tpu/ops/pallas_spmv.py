@@ -139,8 +139,14 @@ def _make_kernel_ds(G):
             [xl_ref[pl.ds(q0_ref[i * 8 * G + j], 1), :]
              for j in range(8 * G)], axis=0)
         lane = lane_ref[...].reshape(G * 8, 128).astype(jnp.int32)
-        gh = jnp.take_along_axis(win_h, lane, axis=1)
-        gl = jnp.take_along_axis(win_l, lane, axis=1)
+        # keep the gather indices int32: under jax_enable_x64 (the f64
+        # parity mode that wants this kernel) take_along_axis would
+        # promote to int64, which Mosaic cannot lower
+        from jax._src import config as _jcfg
+
+        with _jcfg.enable_x64(False):
+            gh = jnp.take_along_axis(win_h, lane, axis=1)
+            gl = jnp.take_along_axis(win_l, lane, axis=1)
         vh = vh_ref[...].reshape(G * 8, 128)
         vl = vl_ref[...].reshape(G * 8, 128)
         # (vh+vl)·(gh+gl) = Dekker(vh,gh) + vh·gl + vl·gh (+ vl·gl ~ 0)
@@ -164,6 +170,28 @@ def _gather_spmv_call_ds(shape_info, pass_tile, pass_first, q0,
     from jax.experimental.pallas import tpu as pltpu
 
     x_hi, x_lo = x_pair
+    n_row_tiles, NP, G = shape_info
+    # trace the kernel body and index maps WITHOUT x64 (all operands are
+    # f32/i32 pairs; Mosaic cannot lower the int64 scalars that x64-mode
+    # tracing would produce in the grid transforms)
+    from jax._src import config as _jcfg
+
+    ctx = _jcfg.enable_x64(False)
+    ctx.__enter__()
+    try:
+        return _gather_spmv_call_ds_inner(
+            shape_info, pass_tile, pass_first, q0, lane, val_hi, val_lo,
+            x_hi, x_lo, interpret)
+    finally:
+        ctx.__exit__(None, None, None)
+
+
+def _gather_spmv_call_ds_inner(shape_info, pass_tile, pass_first, q0,
+                               lane, val_hi, val_lo, x_hi, x_lo,
+                               interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     n_row_tiles, NP, G = shape_info
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -252,8 +280,16 @@ def _assemble_group(gops, dtype, target_device):
         it[0]._packed[it[1]][3].astype(np.int64) + bases[i]
         for i, it in enumerate(items)]).astype(np.int32)
     elane = np.concatenate([it[0]._packed[it[1]][4] for it in items])
-    evals = np.concatenate([
-        np.asarray(it[0]._packed[it[1]][5], dtype=dtype) for it in items])
+    ds = bool(gops[0].ds)
+    if ds:
+        raw = np.concatenate([
+            np.asarray(it[0]._packed[it[1]][5], dtype=np.float64)
+            for it in items])
+        evals = _ds_split_np(raw)
+    else:
+        evals = np.concatenate([
+            np.asarray(it[0]._packed[it[1]][5], dtype=dtype)
+            for it in items])
     # every small per-pass array (tile, first, q0-flat) rides in ONE
     # int32 buffer; the jit slices them back out — 4 transfers + 1
     # executable total, independent of chunk count
@@ -285,10 +321,19 @@ def _batched_assemble(bounds, np_cs, slots, elane, evals, meta):
     slices back out per chunk.  ``bounds`` is the (static) cumulative
     flat-size table, ``np_cs`` the per-chunk pass counts (the meta
     buffer holds tile|first|q0-flat per chunk); one compile serves the
-    whole batch."""
+    whole batch.  ``evals`` may be a single f32 array or a (hi, lo)
+    f32 pair (double-single mode) — the pair is scattered twice and the
+    chunk val comes back as a pair."""
+    ds = isinstance(evals, (tuple, list))
     total = bounds[-1]
-    val_flat = jnp.zeros(total, evals.dtype).at[slots].set(
-        evals, unique_indices=True, indices_are_sorted=True)
+    if ds:
+        vh = jnp.zeros(total, jnp.float32).at[slots].set(
+            evals[0], unique_indices=True, indices_are_sorted=True)
+        vl = jnp.zeros(total, jnp.float32).at[slots].set(
+            evals[1], unique_indices=True, indices_are_sorted=True)
+    else:
+        val_flat = jnp.zeros(total, evals.dtype).at[slots].set(
+            evals, unique_indices=True, indices_are_sorted=True)
     lane_flat = jnp.zeros(total, jnp.int32).at[slots].set(
         elane.astype(jnp.int32), unique_indices=True,
         indices_are_sorted=True).astype(jnp.int8)
@@ -301,11 +346,23 @@ def _batched_assemble(bounds, np_cs, slots, elane, evals, meta):
         first = jax.lax.slice(meta, (m0 + np_c,), (m0 + 2 * np_c,))
         q0 = jax.lax.slice(meta, (m0 + 2 * np_c,), (m0 + 10 * np_c,))
         m0 += 10 * np_c
+        if ds:
+            val = (
+                jax.lax.slice(vh, (b0,), (b1,)).reshape(-1, 8, 128),
+                jax.lax.slice(vl, (b0,), (b1,)).reshape(-1, 8, 128))
+        else:
+            val = jax.lax.slice(val_flat, (b0,), (b1,)).reshape(-1, 8, 128)
         out.append((
-            tile, first, q0,
-            jax.lax.slice(val_flat, (b0,), (b1,)).reshape(-1, 8, 128),
+            tile, first, q0, val,
             jax.lax.slice(lane_flat, (b0,), (b1,)).reshape(-1, 8, 128)))
     return tuple(out)
+
+
+def _ds_split_np(evals):
+    """Host split of f64 values into the (hi, lo) f32 pair."""
+    hi = evals.astype(np.float32)
+    lo = (evals - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -428,11 +485,15 @@ class GatherSpMV:
         # On non-Mosaic backends the interpreter would run one Python
         # step per pass — use the XLA segment-sum fallback instead
         # unless a test explicitly asks for interpret mode.  Mosaic has
-        # no 64-bit support, so f64 parity runs take the XLA path too.
+        # no 64-bit support; f64 runs use the double-single (split-f32)
+        # kernel variant instead (values and accumulator are (hi, lo)
+        # f32 pairs with compensated arithmetic).
         self.interpret = interpret
         is64 = jnp.dtype(dtype).itemsize == 8
+        self.ds = bool(is64 and not force_xla
+                       and _backend_supports_pallas() and not interpret)
         self.use_pallas = (self.NP > 0 and not force_xla
-                           and not (is64 and not interpret)
+                           and not (is64 and not self.ds and not interpret)
                            and (interpret or _backend_supports_pallas()))
         bounds = _chunk_bounds(plan) if self.use_pallas else None
         if self.use_pallas and bounds is None:
@@ -476,10 +537,14 @@ class GatherSpMV:
             np_c = p1 - p0
             nflat = np_c * TILE_ROWS
             mbuf = np.concatenate([tile, first, q0f]).astype(np.int32)
+            if self.ds:
+                hi, lo = _ds_split_np(np.asarray(evals, np.float64))
+                ev = (jnp.asarray(hi), jnp.asarray(lo))
+            else:
+                ev = jnp.asarray(evals, dtype=self.dtype)
             parts = _batched_assemble(
                 (0, nflat), (np_c,), jnp.asarray(slots),
-                jnp.asarray(elane),
-                jnp.asarray(evals, dtype=self.dtype), jnp.asarray(mbuf))
+                jnp.asarray(elane), ev, jnp.asarray(mbuf))
             dtile, dfirst, dq0, val, lane = parts[0]
             chunks.append((dtile, dfirst, dq0, lane, val, t0, t1))
         self.chunks = chunks
@@ -506,6 +571,13 @@ class GatherSpMV:
 
     # -- structural helpers (diagnostics, scaling, host round-trip) -------
 
+    def _chunk_val(self, c):
+        """Effective value tile of one chunk (combines DS pairs)."""
+        val = c[4]
+        if self.ds:
+            return val[0].astype(jnp.float64) + val[1].astype(jnp.float64)
+        return val
+
     def _rows_cols(self, c):
         """(rows, cols) of one chunk as (np_c, 8, 128) device arrays
         (rows are global)."""
@@ -529,7 +601,8 @@ class GatherSpMV:
             return d[:self.n_rows]
         parts = []
         for c in self.chunks:
-            tile, _, _, _, val, t0, t1 = c
+            tile, _, _, _, _, t0, t1 = c
+            val = self._chunk_val(c)
             rows, cols = self._rows_cols(c)
             masked = jnp.where(rows == cols, val, 0.0)
             d = jax.ops.segment_sum(
@@ -548,7 +621,8 @@ class GatherSpMV:
             return d[:self.n_rows]
         parts = []
         for c in self.chunks:
-            tile, _, _, _, val, t0, t1 = c
+            tile, _, _, _, _, t0, t1 = c
+            val = self._chunk_val(c)
             d = jax.ops.segment_sum(
                 jnp.abs(val).reshape(tile.shape[0], TILE_ROWS), tile,
                 num_segments=t1 - t0)
@@ -582,11 +656,17 @@ class GatherSpMV:
         new_chunks = []
         for c in self.chunks:
             tile, first, q0, lane, val, t0, t1 = c
+            if self.ds:
+                val = self._chunk_val(c)
             if slp is not None:
                 val = val * slp[tile + t0]
             if srp is not None:
                 _, cols = self._rows_cols(c)
                 val = val * srp[cols]   # one-off XLA gather: setup path
+            if self.ds:
+                hi = val.astype(jnp.float32)
+                lo = (val - hi.astype(jnp.float64)).astype(jnp.float32)
+                val = (hi, lo)
             new_chunks.append((tile, first, q0, lane, val, t0, t1))
         out.chunks = new_chunks
         return out
@@ -604,7 +684,7 @@ class GatherSpMV:
         for c in self.chunks:
             rows, cols = self._rows_cols(c)
             rows, cols, vals = (np.asarray(rows), np.asarray(cols),
-                                np.asarray(c[4]))
+                                np.asarray(self._chunk_val(c)))
             mask = vals != 0
             rr.append(rows[mask])
             cc.append(cols[mask])
@@ -623,6 +703,21 @@ class GatherSpMV:
             return y[:self.n_rows]
         xp = jnp.zeros(self.x_sublanes * 128, x.dtype)
         xp = jax.lax.dynamic_update_slice(xp, x.astype(self.dtype), (0,))
+        if self.ds:
+            xh, xl = split_f64(xp)
+            x_pair = (xh.reshape(self.x_sublanes, 128),
+                      xl.reshape(self.x_sublanes, 128))
+            parts = []
+            for c in self.chunks:
+                tile, first, q0, lane, val, t0, t1 = c
+                yh, yl = _gather_spmv_call_ds(
+                    (t1 - t0, tile.shape[0], self.group),
+                    tile, first, q0, lane, val[0], val[1], x_pair,
+                    self.interpret)
+                parts.append(yh.astype(jnp.float64)
+                             + yl.astype(jnp.float64))
+            y = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+            return y.reshape(-1)[:self.n_rows].astype(x.dtype)
         x_pad = xp.reshape(self.x_sublanes, 128)
         parts = []
         for c in self.chunks:

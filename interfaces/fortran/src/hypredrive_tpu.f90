@@ -261,6 +261,393 @@ module hypredrive_tpu
       integer(c_int32_t) :: rc
     end function
 
+    ! == AUTO-GENERATED from HYPREDRV_tpu.h (scripts/gen_fortran_bindings.py) ==
+
+    function HYPREDRV_ErrorInvalidValue() &
+        bind(c, name="HYPREDRV_ErrorInvalidValue") result(rc)
+      import :: c_int32_t
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_PrintLibInfo(arg0) &
+        bind(c, name="HYPREDRV_PrintLibInfo") result(rc)
+      import :: c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_PrintSystemInfo(arg0) &
+        bind(c, name="HYPREDRV_PrintSystemInfo") result(rc)
+      import :: c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_PrintExitInfo(arg0, argv0) &
+        bind(c, name="HYPREDRV_PrintExitInfo") result(rc)
+      import :: c_char, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      character(kind=c_char), dimension(*) :: argv0
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_InputArgsGetNumLinearSystems(arg0, out) &
+        bind(c, name="HYPREDRV_InputArgsGetNumLinearSystems") result(rc)
+      import :: c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int32_t), dimension(*) :: out
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_InputArgsGetNumPreconVariants(arg0, out) &
+        bind(c, name="HYPREDRV_InputArgsGetNumPreconVariants") result(rc)
+      import :: c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int32_t), dimension(*) :: out
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_InputArgsGetNumRepetitions(arg0, out) &
+        bind(c, name="HYPREDRV_InputArgsGetNumRepetitions") result(rc)
+      import :: c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int32_t), dimension(*) :: out
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_InputArgsGetWarmup(arg0, out) &
+        bind(c, name="HYPREDRV_InputArgsGetWarmup") result(rc)
+      import :: c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int32_t), dimension(*) :: out
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_InputArgsSetPreconPreset(arg0, name) &
+        bind(c, name="HYPREDRV_InputArgsSetPreconPreset") result(rc)
+      import :: c_char, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      character(kind=c_char), dimension(*) :: name
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_InputArgsSetSolverPreset(arg0, name) &
+        bind(c, name="HYPREDRV_InputArgsSetSolverPreset") result(rc)
+      import :: c_char, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      character(kind=c_char), dimension(*) :: name
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_PreconPresetRegister(name, yaml) &
+        bind(c, name="HYPREDRV_PreconPresetRegister") result(rc)
+      import :: c_char, c_int32_t
+      character(kind=c_char), dimension(*) :: name
+      character(kind=c_char), dimension(*) :: yaml
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_SolverPresetRegister(name, yaml) &
+        bind(c, name="HYPREDRV_SolverPresetRegister") result(rc)
+      import :: c_char, c_int32_t
+      character(kind=c_char), dimension(*) :: name
+      character(kind=c_char), dimension(*) :: yaml
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSystemReadMatrix(arg0, path) &
+        bind(c, name="HYPREDRV_LinearSystemReadMatrix") result(rc)
+      import :: c_char, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      character(kind=c_char), dimension(*) :: path
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSystemSetMatrix(arg0, num_rows, indptr, indices, data) &
+        bind(c, name="HYPREDRV_LinearSystemSetMatrix") result(rc)
+      import :: c_double, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int64_t), value :: num_rows
+      integer(c_int64_t), dimension(*) :: indptr
+      integer(c_int64_t), dimension(*) :: indices
+      real(c_double), dimension(*) :: data
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSystemSetPrecMatrix(arg0, num_rows, indptr, indices, data) &
+        bind(c, name="HYPREDRV_LinearSystemSetPrecMatrix") result(rc)
+      import :: c_double, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int64_t), value :: num_rows
+      integer(c_int64_t), dimension(*) :: indptr
+      integer(c_int64_t), dimension(*) :: indices
+      real(c_double), dimension(*) :: data
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSystemSetRHSFromArray(arg0, n, values) &
+        bind(c, name="HYPREDRV_LinearSystemSetRHSFromArray") result(rc)
+      import :: c_double, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int64_t), value :: n
+      real(c_double), dimension(*) :: values
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSystemSetSolution(arg0, n, values) &
+        bind(c, name="HYPREDRV_LinearSystemSetSolution") result(rc)
+      import :: c_double, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int64_t), value :: n
+      real(c_double), dimension(*) :: values
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSystemSetReferenceSolution(arg0, n, values) &
+        bind(c, name="HYPREDRV_LinearSystemSetReferenceSolution") result(rc)
+      import :: c_double, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int64_t), value :: n
+      real(c_double), dimension(*) :: values
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSystemSetNearNullSpace(arg0, num_vecs, n, values) &
+        bind(c, name="HYPREDRV_LinearSystemSetNearNullSpace") result(rc)
+      import :: c_double, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int32_t), value :: num_vecs
+      integer(c_int64_t), value :: n
+      real(c_double), dimension(*) :: values
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSystemSetNullSpace(arg0, num_vecs, n, values) &
+        bind(c, name="HYPREDRV_LinearSystemSetNullSpace") result(rc)
+      import :: c_double, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int32_t), value :: num_vecs
+      integer(c_int64_t), value :: n
+      real(c_double), dimension(*) :: values
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSystemSetDiscreteGradient(arg0, num_rows, indptr, indices, data) &
+        bind(c, name="HYPREDRV_LinearSystemSetDiscreteGradient") result(rc)
+      import :: c_double, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int64_t), value :: num_rows
+      integer(c_int64_t), dimension(*) :: indptr
+      integer(c_int64_t), dimension(*) :: indices
+      real(c_double), dimension(*) :: data
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSystemSetDiscreteCurl(arg0, num_rows, indptr, indices, data) &
+        bind(c, name="HYPREDRV_LinearSystemSetDiscreteCurl") result(rc)
+      import :: c_double, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int64_t), value :: num_rows
+      integer(c_int64_t), dimension(*) :: indptr
+      integer(c_int64_t), dimension(*) :: indices
+      real(c_double), dimension(*) :: data
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSystemSetCoordinates(arg0, dim, n, coords) &
+        bind(c, name="HYPREDRV_LinearSystemSetCoordinates") result(rc)
+      import :: c_double, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int32_t), value :: dim
+      integer(c_int64_t), value :: n
+      real(c_double), dimension(*) :: coords
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSystemSetContiguousDofmap(arg0, num_functions) &
+        bind(c, name="HYPREDRV_LinearSystemSetContiguousDofmap") result(rc)
+      import :: c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int32_t), value :: num_functions
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSystemReadDofmap(arg0, path) &
+        bind(c, name="HYPREDRV_LinearSystemReadDofmap") result(rc)
+      import :: c_char, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      character(kind=c_char), dimension(*) :: path
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSystemPrint(arg0, prefix) &
+        bind(c, name="HYPREDRV_LinearSystemPrint") result(rc)
+      import :: c_char, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      character(kind=c_char), dimension(*) :: prefix
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSystemPrintDofmap(arg0, path) &
+        bind(c, name="HYPREDRV_LinearSystemPrintDofmap") result(rc)
+      import :: c_char, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      character(kind=c_char), dimension(*) :: path
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSystemComputeEigenspectrum(arg0) &
+        bind(c, name="HYPREDRV_LinearSystemComputeEigenspectrum") result(rc)
+      import :: c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSystemGetSolutionLength(arg0, out) &
+        bind(c, name="HYPREDRV_LinearSystemGetSolutionLength") result(rc)
+      import :: c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int64_t), dimension(*) :: out
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSystemGetRHSValues(arg0, n, out) &
+        bind(c, name="HYPREDRV_LinearSystemGetRHSValues") result(rc)
+      import :: c_double, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int64_t), value :: n
+      real(c_double), dimension(*) :: out
+      integer(c_int32_t) :: rc
+    end function
+
+    ! HYPREDRV_LinearSystemGetMatrix: signature not auto-bindable (bind manually if needed)
+
+    ! HYPREDRV_LinearSystemGetRHS: signature not auto-bindable (bind manually if needed)
+
+    ! HYPREDRV_LinearSystemGetSolution: signature not auto-bindable (bind manually if needed)
+
+    ! HYPREDRV_StateVectorSet: signature not auto-bindable (bind manually if needed)
+
+    function HYPREDRV_StateVectorGetValues(arg0, index, n, out) &
+        bind(c, name="HYPREDRV_StateVectorGetValues") result(rc)
+      import :: c_double, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int32_t), value :: index
+      integer(c_int64_t), value :: n
+      real(c_double), dimension(*) :: out
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_StateVectorCopy(arg0, index_in, index_out) &
+        bind(c, name="HYPREDRV_StateVectorCopy") result(rc)
+      import :: c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int32_t), value :: index_in
+      integer(c_int32_t), value :: index_out
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_StateVectorUpdateAll(arg0) &
+        bind(c, name="HYPREDRV_StateVectorUpdateAll") result(rc)
+      import :: c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_StateVectorApplyCorrection(arg0, index) &
+        bind(c, name="HYPREDRV_StateVectorApplyCorrection") result(rc)
+      import :: c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int32_t), value :: index
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_PreconSetup(arg0) &
+        bind(c, name="HYPREDRV_PreconSetup") result(rc)
+      import :: c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_PreconApply(arg0, n, r, z) &
+        bind(c, name="HYPREDRV_PreconApply") result(rc)
+      import :: c_double, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int64_t), value :: n
+      real(c_double), dimension(*) :: r
+      real(c_double), dimension(*) :: z
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_AnnotateLevelBegin(arg0, name, index) &
+        bind(c, name="HYPREDRV_AnnotateLevelBegin") result(rc)
+      import :: c_char, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      character(kind=c_char), dimension(*) :: name
+      integer(c_int32_t), value :: index
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_AnnotateLevelEnd(arg0, name, index) &
+        bind(c, name="HYPREDRV_AnnotateLevelEnd") result(rc)
+      import :: c_char, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      character(kind=c_char), dimension(*) :: name
+      integer(c_int32_t), value :: index
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_StatsLevelPrint(arg0) &
+        bind(c, name="HYPREDRV_StatsLevelPrint") result(rc)
+      import :: c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_StatsLevelGetCount(arg0, name, out) &
+        bind(c, name="HYPREDRV_StatsLevelGetCount") result(rc)
+      import :: c_char, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      character(kind=c_char), dimension(*) :: name
+      integer(c_int32_t), dimension(*) :: out
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_StatsLevelGetEntry(arg0, name, entry, time_out) &
+        bind(c, name="HYPREDRV_StatsLevelGetEntry") result(rc)
+      import :: c_char, c_double, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      character(kind=c_char), dimension(*) :: name
+      integer(c_int32_t), value :: entry
+      real(c_double), dimension(*) :: time_out
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSolverGetNumIter(arg0, out) &
+        bind(c, name="HYPREDRV_LinearSolverGetNumIter") result(rc)
+      import :: c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      integer(c_int32_t), dimension(*) :: out
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSolverGetSetupTime(arg0, out) &
+        bind(c, name="HYPREDRV_LinearSolverGetSetupTime") result(rc)
+      import :: c_double, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      real(c_double), dimension(*) :: out
+      integer(c_int32_t) :: rc
+    end function
+
+    function HYPREDRV_LinearSolverGetSolveTime(arg0, out) &
+        bind(c, name="HYPREDRV_LinearSolverGetSolveTime") result(rc)
+      import :: c_double, c_int32_t, c_int64_t
+      integer(c_int64_t), value :: arg0
+      real(c_double), dimension(*) :: out
+      integer(c_int32_t) :: rc
+    end function
+    ! == END AUTO-GENERATED ==
+
   end interface
 
   public :: HYPREDRV_Initialize, HYPREDRV_Finalize, HYPREDRV_Create, &

@@ -312,7 +312,7 @@ def test_fortran_interface_names_match_c_header():
     c_names = set(re.findall(r"\b(HYPREDRV_[A-Za-z0-9_]+)\s*\(", header))
     bound = re.findall(r'bind\s*\(\s*c\s*,\s*name\s*=\s*"([^"]+)"',
                        f90, flags=re.IGNORECASE)
-    assert len(bound) >= 30, "suspiciously few bound procedures"
+    assert len(bound) >= 70, "suspiciously few bound procedures"
     for name in bound:
         assert name in c_names, f"Fortran binds unknown symbol {name}"
     # structural sanity: balanced interface blocks and a closed module
@@ -322,3 +322,9 @@ def test_fortran_interface_names_match_c_header():
                             flags=re.IGNORECASE | re.MULTILINE))
     assert opens == closes and opens >= 1
     assert re.search(r"end\s+module", f90, flags=re.IGNORECASE)
+    # generated section is current (scripts/gen_fortran_bindings.py)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "gen_fortran_bindings.py"),
+         "--check"], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
