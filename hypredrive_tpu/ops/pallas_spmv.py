@@ -193,24 +193,24 @@ def _gather_spmv_call_ds_inner(shape_info, pass_tile, pass_first, q0,
     from jax.experimental.pallas import tpu as pltpu
 
     n_row_tiles, NP, G = shape_info
+    # index maps are traced at LOWERING time, outside the no-x64 scope
+    # above — keep every returned index explicitly int32 or Mosaic sees
+    # i64 scalars it cannot legalize
+    blk = lambda i, t, f, q: (i, np.int32(0), np.int32(0))
+    outm = lambda i, t, f, q: (t[i * G].astype(jnp.int32), np.int32(0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(NP // G,),
         in_specs=[
-            pl.BlockSpec((G, 8, 128), lambda i, t, f, q: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 8, 128), lambda i, t, f, q: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 8, 128), lambda i, t, f, q: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 8, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 8, 128), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 8, 128), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x_hi, whole
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x_lo, whole
         ],
         out_specs=[
-            pl.BlockSpec((8, 128), lambda i, t, f, q: (t[i * G], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i, t, f, q: (t[i * G], 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), outm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), outm, memory_space=pltpu.VMEM),
         ],
     )
     return pl.pallas_call(
@@ -473,7 +473,8 @@ class GatherSpMV:
     (t0, t1); most plans are a single chunk."""
 
     def __init__(self, plan: GatherPlan, dtype=jnp.float32,
-                 force_xla: bool = False, interpret: bool = False):
+                 force_xla: bool = False, interpret: bool = False,
+                 force_ds: bool = False):
         self.plan = plan
         self.n_rows = plan.n_rows
         self.n_cols = plan.n_cols
@@ -491,7 +492,8 @@ class GatherSpMV:
         self.interpret = interpret
         is64 = jnp.dtype(dtype).itemsize == 8
         self.ds = bool(is64 and not force_xla
-                       and _backend_supports_pallas() and not interpret)
+                       and ((_backend_supports_pallas() and not interpret)
+                            or force_ds))
         self.use_pallas = (self.NP > 0 and not force_xla
                            and not (is64 and not self.ds and not interpret)
                            and (interpret or _backend_supports_pallas()))

@@ -172,3 +172,43 @@ def test_chunked_plan_matches(monkeypatch):
     assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
     d = np.asarray(op.diagonal_contrib())
     assert np.allclose(d, A.tocsr().diagonal(), atol=1e-6)
+
+
+def test_double_single_kernel_interpret_accuracy():
+    """The double-single (split-f32) gather kernel reaches ~f64 accuracy
+    (compensated Dekker/TwoSum arithmetic) — run in interpret mode on
+    CPU; on a real TPU the same kernel serves f64 parity runs where
+    Mosaic has no 64-bit (verdict #9 / ROADMAP #4)."""
+    import numpy as np
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from hypredrive_tpu.ops.gather_plan import build_plan
+    from hypredrive_tpu.ops.pallas_spmv import GatherSpMV
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    A = sp.random(n, n, density=0.003, random_state=rng, format="csr")
+    # wide dynamic range so f32 visibly loses digits
+    A.data = A.data * np.exp(rng.uniform(-6, 6, A.nnz))
+    A = sp.csr_matrix(A + sp.identity(n))
+    A.sum_duplicates()
+    A.sort_indices()
+    coo = A.tocoo()
+    x = rng.standard_normal(n) * np.exp(rng.uniform(-3, 3, n))
+    y_ref = A @ x
+
+    plan64 = build_plan(coo.row.astype(np.int64), coo.col.astype(np.int64),
+                        coo.data.astype(np.float64), n, n)
+    g = GatherSpMV(plan64, dtype=jnp.float64, interpret=True, force_ds=True)
+    assert g.ds
+    y = np.asarray(g(jnp.asarray(x)))
+    rel_ds = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+
+    plan32 = build_plan(coo.row.astype(np.int64), coo.col.astype(np.int64),
+                        coo.data.astype(np.float32), n, n)
+    g32 = GatherSpMV(plan32, dtype=jnp.float32, interpret=True)
+    y32 = np.asarray(g32(jnp.asarray(x, jnp.float32)))
+    rel_f32 = np.linalg.norm(y32 - y_ref) / np.linalg.norm(y_ref)
+
+    assert rel_ds < 1e-13, rel_ds              # f64-class accuracy
+    assert rel_ds < rel_f32 * 1e-4             # orders beyond f32
