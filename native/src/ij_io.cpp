@@ -19,9 +19,20 @@
 #include <cstring>
 
 #include <fcntl.h>
+#include <malloc.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
+
+// The planner/RAP/transpose kernels allocate multi-MB scratch vectors
+// per call; glibc mmaps blocks that size and munmaps them on free, so
+// every AMG level re-pays soft page faults for the same footprint (≈3 s
+// of the 64³ setup on this host).  Keep large blocks on the heap and
+// never trim, so the faults are paid once per process.
+__attribute__((constructor)) static void hdrv_malloc_tune(void) {
+  mallopt(M_MMAP_THRESHOLD, 1 << 30);
+  mallopt(M_TRIM_THRESHOLD, 1 << 30);
+}
 
 extern "C" {
 
@@ -290,6 +301,8 @@ int hdrv_write_ij_vector_ascii(const char *path, int64_t ilower,
 // ---------------------------------------------------------------------------
 
 #include <algorithm>
+#include <cstring>
+#include <thread>
 #include <utility>
 #include <vector>
 
@@ -305,10 +318,24 @@ struct PlanSg {
   int32_t i8;
   int32_t s;      // x-sublane
 };
+struct PlanSub {  // fast-path subgroup record (tile-local)
+  int32_t j;      // pass ordinal within the tile
+  int32_t i8;
+  int32_t s;
+};
 struct PlanState {
+  // slow (unsorted-input) path:
   std::vector<PlanEnt> ent;
   std::vector<PlanSg> sg;
+  // both paths:
   std::vector<int64_t> base;  // per-tile pass offsets, size n_row_tiles+1
+  // presorted fast path — entries of a row tile occupy a contiguous
+  // input range, and the packed output is a within-tile permutation of
+  // the input, so every phase parallelizes over tile ranges:
+  bool fast = false;
+  std::vector<int64_t> tile_e0;            // entry range per tile, T+1
+  std::vector<int32_t> ej;                 // per-entry pass ordinal j
+  std::vector<std::vector<PlanSub>> subs;  // per-tile subgroups
 };
 }  // namespace
 
@@ -319,6 +346,8 @@ typedef struct {
   int64_t n;
   int64_t n_row_tiles;
   int64_t group;   // kernel group size G (pass counts padded to it)
+  const int64_t *rows;
+  const int64_t *cols;
   const double *vals;
   void *state;  // PlanState*
   char err[256];
@@ -330,6 +359,127 @@ void hdrv_plan_end(hdrv_plan_handle *h) {
   free(h);
 }
 
+// Fast path: CSR-expanded input is (row, col)-sorted, so (a) the
+// occurrence index k within (row, s) is a run length — no sort needed —
+// and (b) subgroups of an i8 block enumerate as (s ascending, k) with
+// per-s counts, a couple of linear passes over each block.  Two threads
+// split the row tiles.  Returns false only on the >512-duplicates cap.
+static bool fast_plan_begin(hdrv_plan_handle *h, PlanState *st,
+                            const int64_t *rows, const int64_t *cols,
+                            int64_t n, int64_t T, int64_t max_s) {
+  st->tile_e0.assign((size_t)T + 1, 0);
+  {
+    int64_t cur = 0;
+    for (int64_t t = 1; t <= T; ++t) {
+      while (cur < n && (rows[cur] >> 10) < t) ++cur;
+      st->tile_e0[(size_t)t] = cur;
+    }
+  }
+  st->ej.resize((size_t)n);
+  st->subs.assign((size_t)T, {});
+  std::vector<int64_t> npass((size_t)T, 1);
+  bool err512 = false;
+
+  auto phaseA = [&](int64_t t0, int64_t t1, bool *err_flag) {
+    std::vector<int64_t> ksum((size_t)max_s + 1, 0);
+    std::vector<int32_t> touched;
+    touched.reserve(256);
+    for (int64_t t = t0; t < t1; ++t) {
+      const int64_t e0 = st->tile_e0[(size_t)t];
+      const int64_t e1 = st->tile_e0[(size_t)t + 1];
+      auto &sub = st->subs[(size_t)t];
+      int64_t npass_t = 1;
+      int64_t i = e0;
+      while (i < e1) {
+        const int64_t blk = rows[i] >> 7;
+        const int32_t i8 = (int32_t)(blk & 7);
+        int64_t bend = i;
+        while (bend < e1 && (rows[bend] >> 7) == blk) ++bend;
+        // pass 1: K_s = max (row, s)-run length per sublane window s
+        touched.clear();
+        int64_t prev_row = -1, prev_s = -1, run = 0;
+        for (int64_t e = i; e < bend; ++e) {
+          const int64_t s = cols[e] >> 7;
+          if (rows[e] == prev_row && s == prev_s) {
+            ++run;
+          } else {
+            run = 1;
+            prev_row = rows[e];
+            prev_s = s;
+          }
+          if (run > 512) {
+            *err_flag = true;
+            return;
+          }
+          if (ksum[(size_t)s] == 0) touched.push_back((int32_t)s);
+          if (run > ksum[(size_t)s]) ksum[(size_t)s] = run;
+        }
+        std::sort(touched.begin(), touched.end());
+        // prefix the per-s counts into subgroup ordinals j
+        int64_t acc = 0;
+        for (int32_t s : touched) {
+          const int64_t K = ksum[(size_t)s];
+          ksum[(size_t)s] = acc;  // now the base ordinal for this s
+          for (int64_t k = 0; k < K; ++k)
+            sub.push_back({(int32_t)(acc + k), i8, s});
+          acc += K;
+        }
+        if (acc > npass_t) npass_t = acc;
+        // pass 2: per-entry ordinal j = base_j(s) + k
+        prev_row = -1;
+        prev_s = -1;
+        run = 0;
+        for (int64_t e = i; e < bend; ++e) {
+          const int64_t s = cols[e] >> 7;
+          if (rows[e] == prev_row && s == prev_s) {
+            ++run;
+          } else {
+            run = 0;
+            prev_row = rows[e];
+            prev_s = s;
+          }
+          st->ej[(size_t)e] = (int32_t)(ksum[(size_t)s] + run);
+        }
+        for (int32_t s : touched) ksum[(size_t)s] = 0;
+        i = bend;
+      }
+      npass[(size_t)t] = npass_t;
+    }
+  };
+  {
+    const int64_t tmid = T / 2;
+    bool errA = false, errB = false;
+    std::thread th(phaseA, 0, tmid, &errA);
+    phaseA(tmid, T, &errB);
+    th.join();
+    err512 = errA || errB;
+  }
+  if (err512) {
+    snprintf(h->err, sizeof h->err, "more than 512 duplicate entries");
+    return true;  // handled (error recorded)
+  }
+
+  // kernel group size G and per-tile pass padding — same policy as
+  // gather_plan._group_plan
+  {
+    int64_t np_raw = 0;
+    for (int64_t t = 0; t < T; ++t) np_raw += npass[(size_t)t];
+    double avg = (double)np_raw / (double)(T > 0 ? T : 1);
+    int64_t G = 8;
+    while (G > 1 && (double)(G * 4) > avg) G /= 2;
+    h->group = G;
+    if (G > 1)
+      for (int64_t t = 0; t < T; ++t)
+        npass[(size_t)t] = ((npass[(size_t)t] + G - 1) / G) * G;
+  }
+  st->base.assign((size_t)T + 1, 0);
+  for (int64_t t = 0; t < T; ++t)
+    st->base[(size_t)t + 1] = st->base[(size_t)t] + npass[(size_t)t];
+  h->np_ = st->base[(size_t)T];
+  st->fast = true;
+  return true;
+}
+
 hdrv_plan_handle *hdrv_plan_begin(const int64_t *rows, const int64_t *cols,
                                   const double *vals, int64_t n,
                                   int64_t n_row_tiles) {
@@ -338,6 +488,8 @@ hdrv_plan_handle *hdrv_plan_begin(const int64_t *rows, const int64_t *cols,
   if (!h) return nullptr;
   h->n = n;
   h->n_row_tiles = n_row_tiles;
+  h->rows = rows;
+  h->cols = cols;
   h->vals = vals;
   if (n == 0) return h;
 
@@ -348,12 +500,12 @@ hdrv_plan_handle *hdrv_plan_begin(const int64_t *rows, const int64_t *cols,
   }
   h->state = st;
 
-  // sort entries by (row, col); rows/cols must fit 31 bits for the
-  // packed key (caller falls back to numpy otherwise).  CSR-expanded
-  // input is already (row, col)-sorted — detect that in one pass and
-  // skip the sort (the common case from EllMatrix.from_csr).
+  // rows/cols must fit 31 bits for the packed key (caller falls back to
+  // numpy otherwise).  CSR-expanded input is already (row, col)-sorted
+  // — detect that in one pass and take the tile-local parallel path
+  // (the common case from EllMatrix.from_csr).
   bool presorted = true;
-  int64_t max_s = 0;
+  int64_t max_s = 0, max_row = 0;
   for (int64_t i = 0; i < n; ++i) {
     if (rows[i] >= (1LL << 31) || cols[i] >= (1LL << 31) ||
         rows[i] < 0 || cols[i] < 0) {
@@ -362,15 +514,26 @@ hdrv_plan_handle *hdrv_plan_begin(const int64_t *rows, const int64_t *cols,
     }
     int64_t s = cols[i] >> 7;
     if (s > max_s) max_s = s;
+    if (rows[i] > max_row) max_row = rows[i];
     if (i && ((rows[i] < rows[i - 1]) ||
               (rows[i] == rows[i - 1] && cols[i] < cols[i - 1])))
       presorted = false;
   }
+  if ((max_row >> 10) >= n_row_tiles) {
+    snprintf(h->err, sizeof h->err, "row exceeds tile range");
+    return h;
+  }
+
+  if (presorted) {
+    fast_plan_begin(h, st, rows, cols, n, n_row_tiles, max_s);
+    return h;
+  }
+
   std::vector<std::pair<int64_t, int64_t>> keyed;
   keyed.reserve((size_t)n);
   for (int64_t i = 0; i < n; ++i)
     keyed.emplace_back((rows[i] << 31) | cols[i], i);
-  if (!presorted) std::sort(keyed.begin(), keyed.end());
+  std::sort(keyed.begin(), keyed.end());
 
   // occurrence k within (row, s); re-key by subgroup (blk, s, k)
   std::vector<std::pair<int64_t, int64_t>> sgkey((size_t)n);
@@ -414,8 +577,6 @@ hdrv_plan_handle *hdrv_plan_begin(const int64_t *rows, const int64_t *cols,
         dst[(size_t)cnt[(size_t)((src[(size_t)i].first >> shift)
                                  & field_mask)]++] = src[(size_t)i];
     };
-    // three stable counting passes over the actual component ranges
-    // (LSD radix: k, then s, then blk) — linear instead of O(n log n)
     counting_pass(sgkey, tmp, 0, (1 << 9) - 1, nk);
     counting_pass(tmp, sgkey, 9, (1 << 24) - 1, ns);
     counting_pass(sgkey, tmp, 33, ~0LL >> 1, nblk);
@@ -514,6 +675,69 @@ void hdrv_plan_fill_packed(const hdrv_plan_handle *h, int32_t *pass_tile,
       pass_tile[p] = (int32_t)t;
     pass_first[st->base[(size_t)t]] = 1;
   }
+
+  if (st->fast) {
+    // q0 from the per-tile subgroup records
+    for (int64_t t = 0; t < h->n_row_tiles; ++t) {
+      const int64_t b = st->base[(size_t)t];
+      for (const PlanSub &g : st->subs[(size_t)t])
+        q0[(b + g.j) * 8 + g.i8] = g.s;
+    }
+    // entries: the packed output of tile t is exactly the input range
+    // [e0, e1) reordered by (pass, pos) — a tile-local 2-pass stable
+    // counting sort, parallel over tile ranges
+    const int64_t *rows = h->rows;
+    const int64_t *cols = h->cols;
+    const double *vals = h->vals;
+    auto worker = [&](int64_t t0, int64_t t1) {
+      std::vector<int32_t> perm, tmp;
+      std::vector<int64_t> cnt_j;
+      int64_t cnt_pos[1025];
+      for (int64_t t = t0; t < t1; ++t) {
+        const int64_t e0 = st->tile_e0[(size_t)t];
+        const int64_t ne = st->tile_e0[(size_t)t + 1] - e0;
+        if (!ne) continue;
+        const int64_t b = st->base[(size_t)t];
+        const int64_t npass_t = st->base[(size_t)t + 1] - b;
+        perm.resize((size_t)ne);
+        tmp.resize((size_t)ne);
+        std::memset(cnt_pos, 0, sizeof cnt_pos);
+        auto pos_of = [&](int64_t e) -> int32_t {
+          const int64_t row = rows[e];
+          return (int32_t)(((row >> 7) & 7) * 128 + (row & 127));
+        };
+        for (int64_t i = 0; i < ne; ++i) ++cnt_pos[pos_of(e0 + i) + 1];
+        for (int b2 = 0; b2 < 1024; ++b2) cnt_pos[b2 + 1] += cnt_pos[b2];
+        for (int64_t i = 0; i < ne; ++i)
+          tmp[(size_t)cnt_pos[pos_of(e0 + i)]++] = (int32_t)i;
+        cnt_j.assign((size_t)npass_t + 1, 0);
+        for (int64_t i = 0; i < ne; ++i)
+          ++cnt_j[(size_t)st->ej[(size_t)(e0 + i)] + 1];
+        for (int64_t b2 = 0; b2 < npass_t; ++b2)
+          cnt_j[(size_t)b2 + 1] += cnt_j[(size_t)b2];
+        for (int64_t i = 0; i < ne; ++i) {
+          const int32_t idx = tmp[(size_t)i];
+          perm[(size_t)cnt_j[(size_t)st->ej[(size_t)(e0 + idx)]]++] = idx;
+        }
+        for (int64_t i = 0; i < ne; ++i) {
+          const int64_t e = e0 + perm[(size_t)i];
+          slot[e0 + i] =
+              (int32_t)((b + st->ej[(size_t)e]) * 1024 + pos_of(e));
+          elane[e0 + i] = (int8_t)(cols[e] & 127);
+          if (val32)
+            val32[e0 + i] = (float)vals[e];
+          else
+            val64[e0 + i] = vals[e];
+        }
+      }
+    };
+    const int64_t tmid = h->n_row_tiles / 2;
+    std::thread th(worker, 0, tmid);
+    worker(tmid, h->n_row_tiles);
+    th.join();
+    return;
+  }
+
   for (const PlanSg &g : st->sg) q0[g.pass * 8 + g.i8] = g.s;
 
   // order entries by slot (pass, pos) with two stable counting passes
