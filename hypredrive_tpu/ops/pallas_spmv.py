@@ -249,8 +249,12 @@ class _DeferredAssembly:
     def register(self, gop):
         self.gops.append(gop)
 
-    def finalize(self, target_device=None):
-        """Assemble every registered GatherSpMV's tiles on the target."""
+    def flush(self, target_device=None):
+        """Assemble the gops registered SO FAR and clear them, leaving
+        the context open.  Called per hierarchy level from the setup
+        worker thread so each level's packed-plan transfer overlaps the
+        next level's host graph work (the transfer rides the tunnel
+        while scipy runs on the main thread)."""
         gops = [g for g in self.gops if g.chunks is None]
         self.gops = []
         if not gops:
@@ -261,6 +265,10 @@ class _DeferredAssembly:
             by_dtype.setdefault(jnp.dtype(g.dtype), []).append(g)
         for dt, group in by_dtype.items():
             _assemble_group(group, dt, target_device)
+
+    def finalize(self, target_device=None):
+        """Assemble every registered GatherSpMV's tiles on the target."""
+        self.flush(target_device)
 
 
 def _assemble_group(gops, dtype, target_device):
@@ -274,11 +282,21 @@ def _assemble_group(gops, dtype, target_device):
         for g in gops:
             g._assemble_now()
         return
-    bases = np.zeros(len(items) + 1, np.int64)
-    np.cumsum([n for _, _, n, _ in items], out=bases[1:])
-    slots = np.concatenate([
-        it[0]._packed[it[1]][3].astype(np.int64) + bases[i]
-        for i, it in enumerate(items)]).astype(np.int32)
+    # slot wire format: the slots of each chunk are strictly increasing,
+    # so ship uint16 GAPS and cumsum them back on device (7 B/nnz
+    # instead of 9) — falls back to absolute int32 when any gap
+    # overflows (> 64 consecutive fully-empty passes; doesn't happen for
+    # real operators, guarded anyway)
+    slot_parts = [np.asarray(it[0]._packed[it[1]][3], np.int64)
+                  for it in items]
+    deltas = []
+    use_delta = True
+    for s in slot_parts:
+        d = np.diff(s, prepend=np.int64(0))
+        if len(d) and int(d.max()) >= (1 << 16):
+            use_delta = False
+            break
+        deltas.append(d.astype(np.uint16))
     elane = np.concatenate([it[0]._packed[it[1]][4] for it in items])
     ds = bool(gops[0].ds)
     if ds:
@@ -299,12 +317,28 @@ def _assemble_group(gops, dtype, target_device):
             g._packed[ci][2]
         meta_parts += [tile, first, q0f]
     meta = np.concatenate(meta_parts).astype(np.int32)
-    d_slots, d_elane, d_evals, d_meta = jax.device_put(
-        (slots, elane, evals, meta), target_device)
-    bounds = tuple(int(b) for b in bases)
     np_cs = tuple(it[3] for it in items)
-    parts = _batched_assemble(bounds, np_cs, d_slots, d_elane, d_evals,
-                              d_meta)
+    if use_delta:
+        ebounds = np.zeros(len(items) + 1, np.int64)
+        np.cumsum([len(s) for s in slot_parts], out=ebounds[1:])
+        d_slots, d_elane, d_evals, d_meta = jax.device_put(
+            (np.concatenate(deltas) if deltas
+             else np.zeros(0, np.uint16),
+             elane, evals, meta), target_device)
+        parts = _batched_assemble_delta(
+            tuple(int(b) for b in ebounds), np_cs,
+            d_slots, d_elane, d_evals, d_meta)
+    else:
+        bases = np.zeros(len(items) + 1, np.int64)
+        np.cumsum([n for _, _, n, _ in items], out=bases[1:])
+        slots = np.concatenate([
+            s + bases[i] for i, s in enumerate(slot_parts)
+        ]).astype(np.int32)
+        d_slots, d_elane, d_evals, d_meta = jax.device_put(
+            (slots, elane, evals, meta), target_device)
+        bounds = tuple(int(b) for b in bases)
+        parts = _batched_assemble(bounds, np_cs, d_slots, d_elane,
+                                  d_evals, d_meta)
     per_gop = {}
     for i, (g, ci, _, _) in enumerate(items):
         t0, t1 = g._chunk_meta[ci][2], g._chunk_meta[ci][3]
@@ -355,6 +389,50 @@ def _batched_assemble(bounds, np_cs, slots, elane, evals, meta):
         out.append((
             tile, first, q0, val,
             jax.lax.slice(lane_flat, (b0,), (b1,)).reshape(-1, 8, 128)))
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _batched_assemble_delta(ebounds, np_cs, deltas, elane, evals, meta):
+    """Delta-slot variant of :func:`_batched_assemble`: per chunk, the
+    absolute slots are rebuilt with one cumsum over the uint16 gaps
+    (VPU-friendly) and scattered into that chunk's own flat tile space.
+    ``ebounds`` is the (static) cumulative ENTRY count table."""
+    ds = isinstance(evals, (tuple, list))
+    out = []
+    m0 = 0
+    for i in range(len(np_cs)):
+        e0, e1 = ebounds[i], ebounds[i + 1]
+        np_c = np_cs[i]
+        nflat = np_c * TILE_ROWS
+        sl = jnp.cumsum(jax.lax.slice(deltas, (e0,), (e1,))
+                        .astype(jnp.int32))
+        el = jax.lax.slice(elane, (e0,), (e1,))
+        lane = (jnp.zeros(nflat, jnp.int32)
+                .at[sl].set(el.astype(jnp.int32), unique_indices=True,
+                            indices_are_sorted=True)
+                .astype(jnp.int8).reshape(-1, 8, 128))
+        if ds:
+            vh = jax.lax.slice(evals[0], (e0,), (e1,))
+            vl = jax.lax.slice(evals[1], (e0,), (e1,))
+            val = (
+                jnp.zeros(nflat, jnp.float32).at[sl].set(
+                    vh, unique_indices=True,
+                    indices_are_sorted=True).reshape(-1, 8, 128),
+                jnp.zeros(nflat, jnp.float32).at[sl].set(
+                    vl, unique_indices=True,
+                    indices_are_sorted=True).reshape(-1, 8, 128))
+        else:
+            ev = jax.lax.slice(evals, (e0,), (e1,))
+            val = (jnp.zeros(nflat, evals.dtype)
+                   .at[sl].set(ev, unique_indices=True,
+                               indices_are_sorted=True)
+                   .reshape(-1, 8, 128))
+        tile = jax.lax.slice(meta, (m0,), (m0 + np_c,))
+        first = jax.lax.slice(meta, (m0 + np_c,), (m0 + 2 * np_c,))
+        q0 = jax.lax.slice(meta, (m0 + 2 * np_c,), (m0 + 10 * np_c,))
+        m0 += 10 * np_c
+        out.append((tile, first, q0, val, lane))
     return tuple(out)
 
 

@@ -281,7 +281,8 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
                 with deferred_assembly() as ctx:
                     state = _setup_hierarchy_impl(
                         A_host, amg_args, dtype, dof_func, interp_vectors,
-                        None, fine_matrix=fine_matrix)
+                        None, fine_matrix=fine_matrix,
+                        level_cb=lambda: ctx.flush(target))
             ctx.finalize(target)
             return batched_device_put(state, target)
     return _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
@@ -291,7 +292,7 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
 
 def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
                           interp_vectors, mesh, xfer=None,
-                          fine_matrix=None) -> AMGState:
+                          fine_matrix=None, level_cb=None) -> AMGState:
     # reuse an already-built device matrix for the finest level (the
     # solver wrapper and level 0 share the same operator)
     if fine_matrix is not None and (
@@ -516,7 +517,7 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
                         up_sm = _smoother_arrays(up_kind, A_l, E,
                                                  rlx.chebyshev, weight,
                                                  fmask)
-                    return xfer(AMGLevel(
+                    out = xfer(AMGLevel(
                         A=E,
                         P=EllMatrix.from_csr(P, dtype=dtype),
                         R=EllMatrix.from_csr(R, dtype=dtype),
@@ -528,6 +529,12 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
                                      else smoother_sweeps),
                         up_smoother=up_k, up_arrays=up_sm,
                     ))
+                    if level_cb is not None:
+                        # kick this level's packed-plan transfer NOW —
+                        # it rides the tunnel while the main thread
+                        # builds the next level's graph
+                        level_cb()
+                    return out
             levels.append(executor.submit(make_level)
                           if executor is not None else make_level())
         if func_l is not None:
