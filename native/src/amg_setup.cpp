@@ -325,130 +325,170 @@ hdrv_interp_handle *hdrv_interp_begin(
     beta[(size_t)f] = b;
   }
 
-  // Row-wise W build with dense accumulator over C-ranks
-  std::vector<double> acc((size_t)nC, 0.0);
-  std::vector<int64_t> touched;
-  touched.reserve(64);
-  std::vector<int64_t> wcols;
-  std::vector<double> wvals;
-  std::vector<std::pair<double, int64_t>> trunc_buf;
+  // Row-wise W build with dense accumulator over C-ranks.  Rows are
+  // independent (all shared state above is read-only), so the loop
+  // splits across two threads by row range — each writes private
+  // output vectors that are stitched afterwards; per-row results are
+  // bit-identical to the serial order.
+  auto build_rows = [&](int64_t i0, int64_t i1,
+                        std::vector<int64_t> &out_idx,
+                        std::vector<double> &out_val,
+                        std::vector<int64_t> &cnt) {
+    std::vector<double> acc((size_t)nC, 0.0);
+    std::vector<int64_t> touched;
+    touched.reserve(64);
+    std::vector<int64_t> wcols;
+    std::vector<double> wvals;
+    std::vector<std::pair<double, int64_t>> trunc_buf;
+    out_idx.reserve((size_t)(i1 - i0) * 4);
+    out_val.reserve((size_t)(i1 - i0) * 4);
+    cnt.assign((size_t)(i1 - i0), 0);
+
+    for (int64_t i = i0; i < i1; ++i) {
+      const size_t row_start = out_idx.size();
+      if (cf[i] > 0) {  // C-point: identity row
+        out_idx.push_back(rank[(size_t)i]);
+        out_val.push_back(1.0);
+        cnt[(size_t)(i - i0)] = 1;
+        continue;
+      }
+      const int64_t f = rank[(size_t)i];
+      touched.clear();
+      double gamma = 0.0;
+      for (int64_t p = fs_indptr[(size_t)f]; p < fs_indptr[(size_t)f + 1];
+           ++p) {
+        const int64_t j = fs_col[(size_t)p];
+        const double v = fs_val[(size_t)p];
+        if (cf[j] > 0) {
+          const int64_t c = rank[(size_t)j];
+          if (acc[(size_t)c] == 0.0) touched.push_back(c);
+          acc[(size_t)c] += v;
+        } else {
+          // strong F neighbor k = j: distribute through its C row
+          const int64_t k = rank[(size_t)j];
+          double a_ki = 0.0;
+          if (plus_i) {
+            // ā_ki: value of A_FF[k, i] (strong entry of row j at col i)
+            const int64_t kb = fs_indptr[(size_t)k],
+                          ke = fs_indptr[(size_t)k + 1];
+            const int64_t *base = fs_col.data();
+            const int64_t *lo =
+                std::lower_bound(base + kb, base + ke, i);
+            if (lo != base + ke && *lo == i)
+              a_ki = fs_val[(size_t)(lo - base)];
+          }
+          double denom = beta[(size_t)k] + a_ki;
+          if (denom == 0.0) denom = 1.0;
+          const double g = v / denom;
+          gamma += g * a_ki;
+          for (int64_t q = fs_indptr[(size_t)k];
+               q < fs_indptr[(size_t)k + 1]; ++q) {
+            const int64_t jc = fs_col[(size_t)q];
+            if (cf[jc] > 0) {
+              const int64_t c = rank[(size_t)jc];
+              if (acc[(size_t)c] == 0.0) touched.push_back(c);
+              acc[(size_t)c] += g * fs_val[(size_t)q];
+            }
+          }
+        }
+      }
+      double denom = diagF[(size_t)f] + weakF[(size_t)f] + gamma;
+      if (denom == 0.0) denom = 1.0;
+      const double scale0 = -1.0 / denom;
+
+      // gather, sort by column
+      std::sort(touched.begin(), touched.end());
+      wcols.clear();
+      wvals.clear();
+      for (int64_t c : touched) {
+        const double v = acc[(size_t)c] * scale0;
+        acc[(size_t)c] = 0.0;
+        if (v != 0.0) {
+          wcols.push_back(c);
+          wvals.push_back(v);
+        }
+      }
+      // NOTE: a cancelled accumulator (exact 0) may leave a duplicate in
+      // `touched`; acc reset handles it, the zero entry is dropped.
+
+      // truncation: drop below trunc_factor*rowmax, keep top max_nnz_row
+      // by |w| (ties -> lower column), rescale to preserve the row sum
+      const size_t m = wcols.size();
+      if (m && (trunc_factor > 0.0 || (max_nnz_row > 0 &&
+                                       (int64_t)m > max_nnz_row))) {
+        double orig_sum = 0.0, rowmax = 0.0;
+        for (size_t p = 0; p < m; ++p) {
+          orig_sum += wvals[p];
+          rowmax = std::max(rowmax, std::fabs(wvals[p]));
+        }
+        trunc_buf.clear();
+        for (size_t p = 0; p < m; ++p) {
+          if (trunc_factor > 0.0 &&
+              std::fabs(wvals[p]) < trunc_factor * rowmax)
+            continue;
+          trunc_buf.emplace_back(-std::fabs(wvals[p]), (int64_t)p);
+        }
+        if (max_nnz_row > 0 && (int64_t)trunc_buf.size() > max_nnz_row) {
+          std::nth_element(trunc_buf.begin(),
+                           trunc_buf.begin() + (size_t)(max_nnz_row - 1),
+                           trunc_buf.end());
+          trunc_buf.resize((size_t)max_nnz_row);
+        }
+        std::sort(trunc_buf.begin(), trunc_buf.end(),
+                  [](const std::pair<double, int64_t> &a,
+                     const std::pair<double, int64_t> &b) {
+                    return a.second < b.second;
+                  });
+        double new_sum = 0.0;
+        for (auto &pr : trunc_buf) new_sum += wvals[(size_t)pr.second];
+        const double rescale =
+            (new_sum != 0.0 && orig_sum != 0.0) ? orig_sum / new_sum : 1.0;
+        for (auto &pr : trunc_buf) {
+          out_idx.push_back(wcols[(size_t)pr.second]);
+          out_val.push_back(wvals[(size_t)pr.second] * rescale);
+        }
+      } else {
+        for (size_t p = 0; p < m; ++p) {
+          out_idx.push_back(wcols[p]);
+          out_val.push_back(wvals[p]);
+        }
+      }
+      cnt[(size_t)(i - i0)] = (int64_t)(out_idx.size() - row_start);
+    }
+  };
 
   auto &P_indptr = *h->p_indptr;
   auto &P_indices = *h->p_indices;
   auto &P_data = *h->p_data;
   P_indptr.assign((size_t)n + 1, 0);
-  P_indices.reserve((size_t)n * 4);
-  P_data.reserve((size_t)n * 4);
 
-  for (int64_t i = 0; i < n; ++i) {
-    if (cf[i] > 0) {  // C-point: identity row
-      P_indices.push_back(rank[(size_t)i]);
-      P_data.push_back(1.0);
-      P_indptr[(size_t)i + 1] = (int64_t)P_indices.size();
-      continue;
-    }
-    const int64_t f = rank[(size_t)i];
-    touched.clear();
-    double gamma = 0.0;
-    for (int64_t p = fs_indptr[(size_t)f]; p < fs_indptr[(size_t)f + 1];
-         ++p) {
-      const int64_t j = fs_col[(size_t)p];
-      const double v = fs_val[(size_t)p];
-      if (cf[j] > 0) {
-        const int64_t c = rank[(size_t)j];
-        if (acc[(size_t)c] == 0.0) touched.push_back(c);
-        acc[(size_t)c] += v;
-      } else {
-        // strong F neighbor k = j: distribute through its C row
-        const int64_t k = rank[(size_t)j];
-        double a_ki = 0.0;
-        if (plus_i) {
-          // ā_ki: value of A_FF[k, i] (strong entry of row j at col i)
-          const int64_t kb = fs_indptr[(size_t)k],
-                        ke = fs_indptr[(size_t)k + 1];
-          const int64_t *base = fs_col.data();
-          const int64_t *lo =
-              std::lower_bound(base + kb, base + ke, i);
-          if (lo != base + ke && *lo == i)
-            a_ki = fs_val[(size_t)(lo - base)];
-        }
-        double denom = beta[(size_t)k] + a_ki;
-        if (denom == 0.0) denom = 1.0;
-        const double g = v / denom;
-        gamma += g * a_ki;
-        for (int64_t q = fs_indptr[(size_t)k];
-             q < fs_indptr[(size_t)k + 1]; ++q) {
-          const int64_t jc = fs_col[(size_t)q];
-          if (cf[jc] > 0) {
-            const int64_t c = rank[(size_t)jc];
-            if (acc[(size_t)c] == 0.0) touched.push_back(c);
-            acc[(size_t)c] += g * fs_val[(size_t)q];
-          }
-        }
-      }
-    }
-    double denom = diagF[(size_t)f] + weakF[(size_t)f] + gamma;
-    if (denom == 0.0) denom = 1.0;
-    const double scale0 = -1.0 / denom;
-
-    // gather, sort by column
-    std::sort(touched.begin(), touched.end());
-    wcols.clear();
-    wvals.clear();
-    for (int64_t c : touched) {
-      const double v = acc[(size_t)c] * scale0;
-      acc[(size_t)c] = 0.0;
-      if (v != 0.0) {
-        wcols.push_back(c);
-        wvals.push_back(v);
-      }
-    }
-    // NOTE: a cancelled accumulator (exact 0) may leave a duplicate in
-    // `touched`; acc reset handles it, the zero entry is dropped.
-
-    // truncation: drop below trunc_factor*rowmax, keep top max_nnz_row
-    // by |w| (ties -> lower column), rescale to preserve the row sum
-    const size_t m = wcols.size();
-    if (m && (trunc_factor > 0.0 || (max_nnz_row > 0 &&
-                                     (int64_t)m > max_nnz_row))) {
-      double orig_sum = 0.0, rowmax = 0.0;
-      for (size_t p = 0; p < m; ++p) {
-        orig_sum += wvals[p];
-        rowmax = std::max(rowmax, std::fabs(wvals[p]));
-      }
-      trunc_buf.clear();
-      for (size_t p = 0; p < m; ++p) {
-        if (trunc_factor > 0.0 &&
-            std::fabs(wvals[p]) < trunc_factor * rowmax)
-          continue;
-        trunc_buf.emplace_back(-std::fabs(wvals[p]), (int64_t)p);
-      }
-      if (max_nnz_row > 0 && (int64_t)trunc_buf.size() > max_nnz_row) {
-        std::nth_element(trunc_buf.begin(),
-                         trunc_buf.begin() + (size_t)(max_nnz_row - 1),
-                         trunc_buf.end());
-        trunc_buf.resize((size_t)max_nnz_row);
-      }
-      std::sort(trunc_buf.begin(), trunc_buf.end(),
-                [](const std::pair<double, int64_t> &a,
-                   const std::pair<double, int64_t> &b) {
-                  return a.second < b.second;
-                });
-      double new_sum = 0.0;
-      for (auto &pr : trunc_buf) new_sum += wvals[(size_t)pr.second];
-      const double rescale =
-          (new_sum != 0.0 && orig_sum != 0.0) ? orig_sum / new_sum : 1.0;
-      for (auto &pr : trunc_buf) {
-        P_indices.push_back(wcols[(size_t)pr.second]);
-        P_data.push_back(wvals[(size_t)pr.second] * rescale);
-      }
-    } else {
-      for (size_t p = 0; p < m; ++p) {
-        P_indices.push_back(wcols[p]);
-        P_data.push_back(wvals[p]);
-      }
-    }
-    P_indptr[(size_t)i + 1] = (int64_t)P_indices.size();
+  if (n >= 32768) {
+    const int64_t mid = n / 2;
+    std::vector<int64_t> idx0, idx1, cnt0, cnt1;
+    std::vector<double> val0, val1;
+    std::thread th(build_rows, 0, mid, std::ref(idx0), std::ref(val0),
+                   std::ref(cnt0));
+    build_rows(mid, n, idx1, val1, cnt1);
+    th.join();
+    for (int64_t i = 0; i < mid; ++i)
+      P_indptr[(size_t)i + 1] = P_indptr[(size_t)i] + cnt0[(size_t)i];
+    for (int64_t i = mid; i < n; ++i)
+      P_indptr[(size_t)i + 1] =
+          P_indptr[(size_t)i] + cnt1[(size_t)(i - mid)];
+    P_indices.resize((size_t)P_indptr[(size_t)n]);
+    P_data.resize((size_t)P_indptr[(size_t)n]);
+    std::copy(idx0.begin(), idx0.end(), P_indices.begin());
+    std::copy(idx1.begin(), idx1.end(), P_indices.begin() + idx0.size());
+    std::copy(val0.begin(), val0.end(), P_data.begin());
+    std::copy(val1.begin(), val1.end(), P_data.begin() + val0.size());
+  } else {
+    std::vector<int64_t> idx, cnt;
+    std::vector<double> val;
+    build_rows(0, n, idx, val, cnt);
+    for (int64_t i = 0; i < n; ++i)
+      P_indptr[(size_t)i + 1] = P_indptr[(size_t)i] + cnt[(size_t)i];
+    P_indices = std::move(idx);
+    P_data = std::move(val);
   }
   h->nnz = (int64_t)P_indices.size();
   return h;
