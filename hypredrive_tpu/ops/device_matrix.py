@@ -37,6 +37,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+class _TraceNeutralInt(int):
+    """int carried in pytree aux that compares equal to any other
+    instance: bookkeeping values (nnz) that do not shape the traced
+    computation must not force jit retraces across a sequence."""
+
+    __slots__ = ()
+
+    def __eq__(self, other):
+        return isinstance(other, _TraceNeutralInt)
+
+    def __ne__(self, other):
+        return not isinstance(other, _TraceNeutralInt)
+
+    def __hash__(self):
+        return 0x5EED
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class EllMatrix:
@@ -63,13 +80,18 @@ class EllMatrix:
         gch = self.gop.tree_children() if self.gop is not None else ()
         children = (self.cols, self.vals, self.tail_rows, self.tail_cols,
                     self.tail_vals, self.dia_data) + tuple(gch)
-        aux = (self.shape, self.nnz, self.dia_offsets, self.gop)
+        # nnz is pure bookkeeping (stats/summaries) — wrap it so pytree
+        # aux equality ignores its value and same-shape hierarchies from
+        # a sequence share one jit cache entry
+        aux = (self.shape, _TraceNeutralInt(self.nnz), self.dia_offsets,
+               self.gop)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         cols, vals, tr, tc, tv, dia = children[:6]
         shape, nnz, dia_offsets, gop = aux
+        nnz = int(nnz)    # unwrap _TraceNeutralInt (its __eq__ is aux-only)
         if gop is not None:
             import copy
 
@@ -158,6 +180,15 @@ class EllMatrix:
             from .pallas_spmv import GatherSpMV
 
             plan = build_plan(r_rows, r_cols, r_vals, n_rows, n_cols)
+            if plan.num_passes:
+                # shape-stability bucket: pad the pass count to the next
+                # multiple of 128 so small pattern drifts across a
+                # sequence land on the same compiled kernel signature
+                # (no-op passes cost ~60 ns each; pairs with the
+                # bucketed hierarchy level sizes)
+                from .gather_plan import pad_plan
+
+                plan = pad_plan(plan, -(-plan.num_passes // 128) * 128)
             gop = GatherSpMV(plan, dtype=dtype) if plan.num_passes else None
             e = np.empty(0)
             return cls(
@@ -177,7 +208,11 @@ class EllMatrix:
         rest_counts = np.bincount(r_rows, minlength=n_rows)
         max_nnz = int(rest_counts.max(initial=0))
         if k is None:
-            k = min(max_nnz, k_cap)
+            # round the ELL width up to a multiple of 16 (shape-stability
+            # bucket: value-driven max-row-nnz drift across a sequence
+            # keeps one compiled signature; pad columns are zero-val
+            # no-ops)
+            k = min(_round_up(max_nnz, 16) if max_nnz else 0, k_cap)
 
         cols = np.zeros((n_rows, k), dtype=np.int32)
         vals = np.zeros((n_rows, k), dtype=np.float64)

@@ -633,6 +633,26 @@ class GatherSpMV:
         if self.use_pallas and self.chunks is None:
             self._assemble_now()
 
+    # value-based identity on the STATIC metadata (everything that
+    # shapes the traced computation; device arrays are pytree children).
+    # Two same-shape plans from different systems of a sequence then
+    # compare equal in pytree aux, so the jitted cycle's cache hits
+    # instead of retracing per system.
+    def _static_key(self):
+        return (self.n_rows, self.n_cols, self.n_row_tiles,
+                self.x_sublanes, self.NP, self.group,
+                jnp.dtype(self.dtype).name, self.ds, self.use_pallas,
+                self.interpret,
+                tuple(self._chunk_meta) if self.use_pallas else None)
+
+    def __eq__(self, other):
+        if not isinstance(other, GatherSpMV):
+            return NotImplemented
+        return self._static_key() == other._static_key()
+
+    def __hash__(self):
+        return hash(self._static_key())
+
     def tree_children(self):
         if self.use_pallas:
             self._ensure_assembled()

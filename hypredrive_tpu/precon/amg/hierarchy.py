@@ -115,6 +115,41 @@ def _galerkin_rap(A_l: sp.csr_matrix, P: sp.csr_matrix, R: sp.csr_matrix,
     return A_c
 
 
+def _bucket_rows(n: int) -> int:
+    """Shape-stability bucket for coarse-level sizes: next multiple of a
+    power-of-two step ~1/8 of n (≤12.5% pad, multiples of 1024), only
+    above 4096 rows.  Sequences whose per-system PMIS grids drift a few
+    hundred points land on the same padded size, so one compiled cycle
+    serves the whole lsseq (ROADMAP: shape-stable hierarchies)."""
+    if n <= 32:
+        return n
+    q = max(32, 1 << (int(n).bit_length() - 4))
+    return -(-n // q) * q
+
+
+def _pad_level(A_c: sp.csr_matrix, P: sp.csr_matrix, R: sp.csr_matrix,
+               npad: int):
+    """Pad the coarse operator to ``npad`` rows with identity rows.
+
+    Exact no-ops: R's pad rows are zero, so padded residuals are always
+    0 and the pad solution entries stay 0 through every cycle; the next
+    level's strength graph sees isolated points (immediately F, empty
+    interpolation rows)."""
+    ext = npad - A_c.shape[0]
+    A_c = sp.bmat([[A_c, None],
+                   [None, sp.identity(ext, format="csr",
+                                      dtype=A_c.dtype)]],
+                  format="csr")
+    P = sp.csr_matrix(sp.hstack(
+        [P, sp.csr_matrix((P.shape[0], ext), dtype=P.dtype)]))
+    R = sp.csr_matrix(sp.vstack(
+        [R, sp.csr_matrix((ext, R.shape[1]), dtype=R.dtype)]))
+    A_c.sort_indices()
+    P.sort_indices()
+    R.sort_indices()
+    return A_c, P, R
+
+
 def _power_lambda_max(A_host: sp.csr_matrix, d_inv: np.ndarray,
                       iters: int = 10, seed: int = 0) -> float:
     """Host power iteration on D⁻¹A (setup-phase λmax estimate —
@@ -421,6 +456,12 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
         fmask = (cf < 0).astype(np.float64) \
             if (kind.startswith("air-") or up_kind.startswith("air-")) \
             else None
+        # shape-stability bucket (single-chip path; the distributed
+        # wrapper keeps shards uniform on its own)
+        nC_real = A_c.shape[0]
+        npad_c = _bucket_rows(nC_real) if mesh is None else nC_real
+        if npad_c > nC_real:
+            A_c, P, R = _pad_level(A_c, P, R, npad_c)
 
         if mesh is not None:
             from ...parallel.dist_matrix import DistEllMatrix
@@ -539,10 +580,16 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
                           if executor is not None else make_level())
         if func_l is not None:
             func_l = func_l[cf > 0]
+            if npad_c > nC_real:
+                func_l = np.concatenate(
+                    [func_l, np.zeros(npad_c - nC_real, func_l.dtype)])
         if V_l is not None:
             V_l = V_c
+            if npad_c > nC_real:
+                V_l = np.vstack([V_l, np.zeros((npad_c - nC_real,
+                                                V_l.shape[1]))])
         A_l = A_c
-        if A_l.shape[0] <= max_coarse:
+        if nC_real <= max_coarse:
             break
 
     # resolve the overlapped level builds

@@ -626,3 +626,52 @@ def test_rbm_gm2_elasticity_convergence():
     without = solve_iters(None)
     assert with_rbm <= 22, with_rbm        # the verdict's done-criterion
     assert with_rbm <= without, (with_rbm, without)
+
+
+def test_hierarchy_shapes_stable_across_value_drift():
+    """Shape-stability buckets (ROADMAP: shape-stable hierarchies for
+    sequences): two same-pattern systems whose values differ enough to
+    shift the PMIS grid by a few points must produce hierarchies with
+    IDENTICAL array shapes (and static aux), so one compiled cycle
+    serves a whole lsseq sequence.  Exactness guard: the padded
+    identity rows must not change PCG convergence."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from hypredrive_tpu.ops.csr import laplacian_3d_7pt
+    from hypredrive_tpu.ops.device_matrix import EllMatrix
+    from hypredrive_tpu.precon.amg.hierarchy import setup_hierarchy
+    from hypredrive_tpu.precon.amg.cycle import amg_apply
+    from hypredrive_tpu.solvers.pcg import _pcg_core
+    from hypredrive_tpu.config.sections import AMG_SCHEMA
+
+    A1 = sp.csr_matrix(laplacian_3d_7pt(20, dtype=np.float64))
+    A2 = A1.copy()
+    rng = np.random.default_rng(3)
+    # same pattern, +/-5% coefficient jitter (a realistic timestep-to-
+    # timestep drift) -> slightly different strength graph / PMIS grid
+    A2.data = A2.data * (1.0 + 0.05 * rng.standard_normal(len(A2.data)))
+    A2 = A2 + A2.T          # keep SPD-ish and the pattern identical
+    A2 = sp.csr_matrix(0.5 * (A2 + 2.0 * A1))
+
+    args = AMG_SCHEMA.defaults()
+    s1 = setup_hierarchy(A1, args, dtype=jnp.float64)
+    s2 = setup_hierarchy(A2, args, dtype=jnp.float64)
+
+    l1, t1 = jax.tree_util.tree_flatten(s1)
+    l2, t2 = jax.tree_util.tree_flatten(s2)
+    shapes1 = [getattr(a, "shape", None) for a in l1]
+    shapes2 = [getattr(a, "shape", None) for a in l2]
+    assert shapes1 == shapes2, "level shapes drifted across the sequence"
+
+    # exactness: bucketed padding must not change convergence
+    n = A1.shape[0]
+    Ad = EllMatrix.from_csr(A1, dtype=jnp.float64)
+    b = jnp.ones(n, jnp.float64)
+    out = _pcg_core(lambda v: Ad.matvec(v),
+                    lambda r: amg_apply(s1, r), b,
+                    jnp.zeros(n, jnp.float64),
+                    jnp.asarray(1e-8, jnp.float64),
+                    jnp.asarray(0.0, jnp.float64), 100, True, 0)
+    iters = int(out[1])
+    assert iters <= 12, iters
