@@ -207,7 +207,8 @@ class EllMatrix:
 
         rest_counts = np.bincount(r_rows, minlength=n_rows)
         max_nnz = int(rest_counts.max(initial=0))
-        if k is None:
+        k_auto = k is None
+        if k_auto:
             # round the ELL width up to a multiple of 16 (shape-stability
             # bucket: value-driven max-row-nnz drift across a sequence
             # keeps one compiled signature; pad columns are zero-val
@@ -233,6 +234,14 @@ class EllMatrix:
 
         t = len(tail_r)
         t_pad = max(_round_up(t, 128), 128) if t else 0
+        if not t_pad and k_auto and k and k == k_cap:
+            # the ELL width hit the cap, so spill is value-dependent: a
+            # same-pattern system with drifted values may spill where
+            # this one does not (tail (0,) vs (128,) broke the one-
+            # compile-per-lsseq-pattern guarantee).  Give the tail the
+            # same 128-slot floor it would get with spill; pad slots are
+            # (row 0, col 0, val 0) no-ops in segment_sum.
+            t_pad = 128
         t_pad = max(t_pad, min_tail)
         tr = np.zeros(t_pad, dtype=np.int32)
         tc = np.zeros(t_pad, dtype=np.int32)

@@ -244,10 +244,20 @@ _DEFER_STACK = []
 
 class _DeferredAssembly:
     def __init__(self):
+        import threading
+
         self.gops = []
+        # register() runs on whichever thread builds a level (the setup
+        # worker today) while flush() runs on the same worker and
+        # finalize() on the main thread after executor.shutdown(); the
+        # lock makes that safe even if a future caller registers from
+        # another thread mid-loop (a lost gop would silently fall back
+        # to eager assembly on the wrong device)
+        self._lock = threading.Lock()
 
     def register(self, gop):
-        self.gops.append(gop)
+        with self._lock:
+            self.gops.append(gop)
 
     def flush(self, target_device=None):
         """Assemble the gops registered SO FAR and clear them, leaving
@@ -255,8 +265,9 @@ class _DeferredAssembly:
         worker thread so each level's packed-plan transfer overlaps the
         next level's host graph work (the transfer rides the tunnel
         while scipy runs on the main thread)."""
-        gops = [g for g in self.gops if g.chunks is None]
-        self.gops = []
+        with self._lock:
+            gops = [g for g in self.gops if g.chunks is None]
+            self.gops = []
         if not gops:
             return
         # group by value dtype (in practice one group)

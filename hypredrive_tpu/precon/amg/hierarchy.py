@@ -116,11 +116,14 @@ def _galerkin_rap(A_l: sp.csr_matrix, P: sp.csr_matrix, R: sp.csr_matrix,
 
 
 def _bucket_rows(n: int) -> int:
-    """Shape-stability bucket for coarse-level sizes: next multiple of a
-    power-of-two step ~1/8 of n (≤12.5% pad, multiples of 1024), only
-    above 4096 rows.  Sequences whose per-system PMIS grids drift a few
-    hundred points land on the same padded size, so one compiled cycle
-    serves the whole lsseq (ROADMAP: shape-stable hierarchies)."""
+    """Shape-stability bucket for coarse-level sizes: round n (above 32)
+    up to the next multiple of a power-of-two step q = max(32,
+    2^(bitlen(n)-4)) — i.e. ~1/8 of n, so ≤12.5% pad for n ≥ 256 and a
+    32-row floor below that.  Sequences whose per-system PMIS grids
+    drift a few hundred points land on the same padded size, so one
+    compiled cycle serves the whole lsseq (ref contract: lsseq pattern
+    dedup exists to avoid per-system re-setup,
+    /root/reference/src/internal/lsseq.c LSSeqPatternMeta)."""
     if n <= 32:
         return n
     q = max(32, 1 << (int(n).bit_length() - 4))
@@ -410,10 +413,13 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
     agg_trunc = float(amg_args.aggressive.trunc_factor)
     agg_pmax = int(amg_args.aggressive.max_nnz_row)
 
+    n_real = A_l.shape[0]   # unpadded level size (bucket pads are
+                            # identity rows and must not count toward
+                            # the min/max_coarse termination checks)
     for lvl in range(max_levels - 1):
-        n = A_l.shape[0]
-        if n <= max_coarse or (min_coarse and n <= min_coarse):
+        if n_real <= max_coarse or (min_coarse and n_real <= min_coarse):
             break
+        n = A_l.shape[0]
         S = strength_graph(A_l, theta=theta, sabs=sabs, dof_func=func_l)
         if S.nnz == 0:
             break
@@ -456,10 +462,11 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
         fmask = (cf < 0).astype(np.float64) \
             if (kind.startswith("air-") or up_kind.startswith("air-")) \
             else None
-        # shape-stability bucket (single-chip path; the distributed
-        # wrapper keeps shards uniform on its own)
+        # shape-stability bucket (both paths — under a mesh the padded
+        # size additionally keeps DistEllMatrix's shard-uniform padding
+        # on the same bucket across a sequence)
         nC_real = A_c.shape[0]
-        npad_c = _bucket_rows(nC_real) if mesh is None else nC_real
+        npad_c = _bucket_rows(nC_real)
         if npad_c > nC_real:
             A_c, P, R = _pad_level(A_c, P, R, npad_c)
 
@@ -589,6 +596,7 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
                 V_l = np.vstack([V_l, np.zeros((npad_c - nC_real,
                                                 V_l.shape[1]))])
         A_l = A_c
+        n_real = nC_real
         if nC_real <= max_coarse:
             break
 
