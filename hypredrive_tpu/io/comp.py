@@ -7,7 +7,8 @@ prefixes the compressed block with the uint64 original size, exactly as
 by the reference decode here and vice versa.  lz4/lz4hc use the raw LZ4
 block format via the native C++ codec (native/src/ij_io.cpp
 hdrv_lz4_{compress,decompress}; clean-room implementation of the block
-spec) with a pure-Python decoder fallback; blosc is not built.
+spec) with a pure-Python decoder fallback; blosc is a clean-room blosc1
+chunk codec (see the blosc section below).
 """
 
 from __future__ import annotations
@@ -144,6 +145,292 @@ def _lz4_block_decompress(data: bytes, orig_size: int) -> bytes:
     return bytes(out)
 
 
+# -- blosc1 chunk codec (clean-room) -----------------------------------------
+#
+# The reference compresses blobs with c-blosc1: blosc_set_compressor
+# ("blosclz") + blosc_compress(clevel=9, doshuffle=1, typesize=1, ...)
+# (ref: src/internal/comp.c:345-385).  typesize=1 makes the shuffle a
+# no-op and every block a single split, so the chunk format reduces to
+#
+#   16-byte header: version(1) cversion(1) flags(1) typesize(1)
+#                   nbytes(u32le) blocksize(u32le) cbytes(u32le)
+#   flags: 0x1 byte-shuffle, 0x2 memcpyed, 0x4 bit-shuffle,
+#          bits 5-7 inner codec (0=blosclz 1=lz4 3=zlib 4=zstd)
+#   then (unless memcpyed): u32le bstarts[nblocks] — absolute offsets of
+#   each block — and per block split: [i32le csize][payload]; a split
+#   whose csize equals its uncompressed size is stored raw.
+#
+# Implemented from the published container format, not from blosc code.
+# Decode accepts blosclz / lz4 / zlib / zstd inner streams and undoes the
+# byte shuffle, so reference-written .blosc.bin blobs read back here;
+# encode emits LZ4-inner chunks (every stock c-blosc build bundles LZ4),
+# so blobs written here read back in the reference.
+
+_BLOSC_VERSION_FORMAT = 2
+_BLOSC_MAX_DISTANCE = 8191
+_BLOSC_MIN_BUFFERSIZE = 128
+_BLOSC_MAX_SPLITS = 16
+_BLOSC_CODEC_BLOSCLZ = 0
+_BLOSC_CODEC_LZ4 = 1
+_BLOSC_CODEC_ZLIB = 3
+_BLOSC_CODEC_ZSTD = 4
+
+
+def _blosclz_decompress(src: bytes, orig_size: int) -> bytes:
+    """Decode one blosclz 1.x stream (LZ77 with 5-bit offsets-hi/3-bit
+    length control bytes; format per c-blosc1's container spec)."""
+    out = bytearray()
+    ip, n = 0, len(src)
+    if n == 0:
+        return bytes(out)
+    ctrl = src[ip] & 31
+    ip += 1
+    loop = True
+    while loop:
+        if ctrl >= 32:
+            length = (ctrl >> 5) - 1
+            ofs = (ctrl & 31) << 8
+            ref = len(out) - ofs
+            if length == 6:          # 7 - 1: extended length
+                while True:
+                    code = src[ip]; ip += 1
+                    length += code
+                    if code != 255:
+                        break
+            code = src[ip]; ip += 1
+            ref -= code
+            if code == 255 and ofs == (31 << 8):
+                ofs = (src[ip] << 8) | src[ip + 1]; ip += 2
+                ref = len(out) - ofs - _BLOSC_MAX_DISTANCE
+            if ip < n:
+                ctrl = src[ip]; ip += 1
+            else:
+                loop = False
+            length += 3
+            if ref == len(out):      # RLE run of the previous byte
+                if not out:
+                    raise HypredrvError("malformed blosclz stream",
+                                        ErrorCode.IO)
+                out += bytes([out[-1]]) * length
+            else:
+                ref -= 1
+                if ref < 0:
+                    raise HypredrvError("malformed blosclz stream",
+                                        ErrorCode.IO)
+                if ref + length <= len(out):
+                    out += out[ref:ref + length]      # no overlap: slice
+                else:
+                    for _ in range(length):           # overlapping copy
+                        out.append(out[ref]); ref += 1
+        else:
+            ctrl += 1
+            if ip + ctrl > n:
+                raise HypredrvError("truncated blosclz stream",
+                                    ErrorCode.IO)
+            out += src[ip:ip + ctrl]
+            ip += ctrl
+            loop = ip < n
+            if loop:
+                ctrl = src[ip]; ip += 1
+        if len(out) > orig_size:
+            raise HypredrvError("blosclz overrun", ErrorCode.IO)
+    return bytes(out)
+
+
+def _blosclz_compress(data: bytes) -> bytes:
+    """Minimal greedy blosclz 1.x encoder (hash-table match finder).
+
+    Used for self-validation of the decoder and as an inner-codec
+    option; emits only short-distance matches (<= 8191+255)."""
+    n = len(data)
+    out = bytearray()
+    if n == 0:
+        return bytes(out)
+    htab = {}
+    anchor = 0
+    ip = 0
+
+    def emit_literals(lo, hi):
+        while lo < hi:
+            run = min(32, hi - lo)
+            out.append(run - 1)
+            out.extend(data[lo:lo + run])
+            lo += run
+
+    while ip + 4 <= n:
+        key = data[ip:ip + 3]
+        ref = htab.get(key, -1)
+        htab[key] = ip
+        dist = ip - ref - 1
+        # dist < 8190 keeps (hi, lo) clear of the (31, 255) long-
+        # distance escape, so the short encoding is always unambiguous
+        if 0 <= ref and dist < _BLOSC_MAX_DISTANCE - 1 and ip > 0:
+            length = 3
+            maxl = n - ip
+            while length < maxl and data[ref + length] == data[ip + length] \
+                    and length < 3 + 6 + 255 * 8:
+                length += 1
+            emit_literals(anchor, ip)
+            l = length - 3          # encoded length
+            if l < 6:
+                out.append(((l + 1) << 5) | (dist >> 8))
+            else:
+                out.append((7 << 5) | (dist >> 8))
+                rest = l - 6
+                while rest >= 255:
+                    out.append(255)
+                    rest -= 255
+                out.append(rest)
+            out.append(dist & 0xFF)
+            ip += length
+            anchor = ip
+        else:
+            ip += 1
+    emit_literals(anchor, n)
+    return bytes(out)
+
+
+def _byte_unshuffle(data: bytes, typesize: int) -> bytes:
+    import numpy as np
+
+    nb = len(data)
+    main = (nb // typesize) * typesize
+    arr = np.frombuffer(data[:main], np.uint8).reshape(typesize, -1)
+    out = arr.T.reshape(-1).tobytes()
+    return out + data[main:]
+
+
+def _byte_shuffle(data: bytes, typesize: int) -> bytes:
+    import numpy as np
+
+    nb = len(data)
+    main = (nb // typesize) * typesize
+    arr = np.frombuffer(data[:main], np.uint8).reshape(-1, typesize)
+    return arr.T.reshape(-1).tobytes() + data[main:]
+
+
+def _blosc_split(codec: int, typesize: int, blocksize: int) -> bool:
+    return (codec in (_BLOSC_CODEC_BLOSCLZ, _BLOSC_CODEC_LZ4)
+            and typesize <= _BLOSC_MAX_SPLITS
+            and blocksize // max(1, typesize) >= _BLOSC_MIN_BUFFERSIZE)
+
+
+def _blosc_inner_decompress(codec: int, payload: bytes, osize: int) -> bytes:
+    if codec == _BLOSC_CODEC_BLOSCLZ:
+        return _blosclz_decompress(payload, osize)
+    if codec == _BLOSC_CODEC_LZ4:
+        return _lz4_block_decompress(payload, osize)
+    if codec == _BLOSC_CODEC_ZLIB:
+        return zlib.decompress(payload)
+    if codec == _BLOSC_CODEC_ZSTD:
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(
+            payload, max_output_size=max(1, osize))
+    raise HypredrvError(f"blosc inner codec {codec} not supported",
+                        ErrorCode.NOT_IMPLEMENTED)
+
+
+def blosc_decompress(frame: bytes, orig_size: int) -> bytes:
+    """Decode one blosc1 chunk (any inner codec above, byte-shuffle ok)."""
+    if len(frame) < 16:
+        raise HypredrvError("blosc chunk too short", ErrorCode.IO)
+    flags, typesize = frame[2], frame[3]
+    nbytes = int.from_bytes(frame[4:8], "little")
+    blocksize = int.from_bytes(frame[8:12], "little")
+    cbytes = int.from_bytes(frame[12:16], "little")
+    if nbytes != orig_size or cbytes > len(frame):
+        raise HypredrvError("blosc chunk header mismatch", ErrorCode.IO)
+    if flags & 0x4:
+        raise HypredrvError("blosc bit-shuffle not supported",
+                            ErrorCode.NOT_IMPLEMENTED)
+    if flags & 0x2:                              # memcpyed
+        return bytes(frame[16:16 + nbytes])
+    if nbytes == 0:
+        return b""
+    codec = flags >> 5
+    if blocksize <= 0:
+        raise HypredrvError("blosc blocksize invalid", ErrorCode.IO)
+    nblocks = -(-nbytes // blocksize)
+    bstarts = [int.from_bytes(frame[16 + 4 * j:20 + 4 * j], "little")
+               for j in range(nblocks)]
+    out = bytearray()
+    for j in range(nblocks):
+        neblock = min(blocksize, nbytes - j * blocksize)
+        leftover = neblock != blocksize
+        nsplits = typesize if (_blosc_split(codec, typesize, blocksize)
+                               and not leftover) else 1
+        pos = bstarts[j]
+        nsb = neblock // nsplits
+        block = bytearray()
+        for _ in range(nsplits):
+            if pos + 4 > len(frame):
+                raise HypredrvError("blosc block truncated", ErrorCode.IO)
+            csize = int.from_bytes(frame[pos:pos + 4], "little",
+                                   signed=True)
+            pos += 4
+            if csize < 0 or pos + csize > len(frame):
+                raise HypredrvError("blosc block truncated", ErrorCode.IO)
+            payload = frame[pos:pos + csize]
+            pos += csize
+            if csize == nsb:
+                block += payload                 # stored raw
+            else:
+                block += _blosc_inner_decompress(codec, payload, nsb)
+        if len(block) != neblock:
+            raise HypredrvError("blosc block size mismatch", ErrorCode.IO)
+        if (flags & 0x1) and typesize > 1 and not leftover:
+            block = bytearray(_byte_unshuffle(bytes(block), typesize))
+        out += block
+    if len(out) != nbytes:
+        raise HypredrvError("blosc chunk size mismatch", ErrorCode.IO)
+    return bytes(out)
+
+
+def blosc_compress(data: bytes, inner: int = _BLOSC_CODEC_LZ4) -> bytes:
+    """Encode one blosc1 chunk with typesize 1 (the reference's own
+    setting) and the given inner codec; falls back to a memcpyed chunk
+    when compression does not pay."""
+    nbytes = len(data)
+    typesize = 1
+
+    def header(flags, blocksize, cbytes):
+        return bytes([
+            _BLOSC_VERSION_FORMAT, 1, flags, typesize,
+        ]) + nbytes.to_bytes(4, "little") + \
+            blocksize.to_bytes(4, "little") + cbytes.to_bytes(4, "little")
+
+    def memcpyed():
+        return header(0x2, min(nbytes, 1 << 16) or 1, 16 + nbytes) + data
+
+    if nbytes == 0:
+        return header(0x2, 1, 16)
+    blocksize = min(nbytes, 1 << 16)
+    nblocks = -(-nbytes // blocksize)
+    bstarts = []
+    blobs = []
+    pos = 16 + 4 * nblocks
+    for j in range(nblocks):
+        neblock = min(blocksize, nbytes - j * blocksize)
+        chunk = data[j * blocksize:j * blocksize + neblock]
+        if inner == _BLOSC_CODEC_BLOSCLZ:
+            comp = _blosclz_compress(chunk)
+        else:
+            comp = _lz4_block_compress(chunk)
+        if len(comp) >= neblock:
+            blob = neblock.to_bytes(4, "little", signed=True) + chunk
+        else:
+            blob = len(comp).to_bytes(4, "little", signed=True) + comp
+        bstarts.append(pos)
+        blobs.append(blob)
+        pos += len(blob)
+    if pos >= 16 + nbytes:
+        return memcpyed()
+    flags = inner << 5
+    return header(flags, blocksize, pos) + \
+        b"".join(b.to_bytes(4, "little") for b in bstarts) + b"".join(blobs)
+
+
 # -- public API ---------------------------------------------------------------
 
 def compress(codec: int, data: bytes, level: int = -1) -> bytes:
@@ -166,9 +453,7 @@ def compress(codec: int, data: bytes, level: int = -1) -> bytes:
         # differs); one encoder serves both ids (ref: comp.c:258-340)
         return prefix + _lz4_block_compress(data)
     if codec == COMP_BLOSC:
-        raise HypredrvError(
-            "codec blosc not available in this build "
-            "(use none/zlib/zstd/lz4)", ErrorCode.NOT_IMPLEMENTED)
+        return prefix + blosc_compress(data)
     raise HypredrvError(f"unknown codec {codec}", ErrorCode.INVALID_VAL)
 
 
@@ -192,6 +477,8 @@ def decompress(codec: int, data: bytes) -> bytes:
                                 ErrorCode.NOT_IMPLEMENTED)
     elif codec in (COMP_LZ4, COMP_LZ4HC):
         out = _lz4_block_decompress(body, orig_size)
+    elif codec == COMP_BLOSC:
+        out = blosc_decompress(body, orig_size)
     else:
         raise HypredrvError(
             f"codec {codec_name(codec)} not available in this build",

@@ -375,3 +375,120 @@ def test_lz4_lsseq_container_roundtrip(tmp_path):
     assert r.codec == 3
     A0 = r.read_matrix(0)
     assert abs(A0 - A).max() < 1e-14
+
+
+# ---------------------------------------------------------------------------
+# blosc1 chunk codec (clean-room; ref: src/internal/comp.c:345-385 uses
+# c-blosc1 with compressor blosclz, clevel 9, shuffle, typesize 1)
+# ---------------------------------------------------------------------------
+
+def _blosc_payloads():
+    rng = np.random.default_rng(7)
+    return [b"", b"z", b"abab" * 6000,
+            rng.integers(0, 4, 70000, np.uint8).tobytes(),
+            rng.integers(0, 255, 300000, np.uint8).tobytes(),
+            np.arange(50000, dtype=np.float64).tobytes()]
+
+
+def test_blosc_roundtrip_prefix_format():
+    """COMP_BLOSC emits [uint64 size][blosc1 chunk] like every other
+    reference codec and inverts exactly."""
+    import struct
+    from hypredrive_tpu.io import comp
+
+    for raw in _blosc_payloads():
+        c = comp.compress(comp.COMP_BLOSC, raw)
+        (size,) = struct.unpack_from("<Q", c)
+        assert size == len(raw)
+        assert comp.decompress(comp.COMP_BLOSC, c) == raw
+        # header sanity: version-format byte + our LZ4 inner codec (or
+        # memcpyed fallback for incompressible payloads)
+        frame = c[8:]
+        assert frame[0] == 2
+        assert (frame[2] & 0x2) or (frame[2] >> 5) == 1
+
+
+def test_blosc_blosclz_inner_roundtrip():
+    """A chunk whose blocks hold blosclz streams (what the reference's
+    c-blosc writes with blosc_set_compressor("blosclz")) decodes; the
+    in-repo greedy blosclz encoder validates the decoder against the
+    published stream format."""
+    from hypredrive_tpu.io import comp
+
+    for raw in _blosc_payloads():
+        frame = comp.blosc_compress(raw, inner=comp._BLOSC_CODEC_BLOSCLZ)
+        assert comp.blosc_decompress(frame, len(raw)) == raw
+        # raw blosclz streams invert too
+        if raw:
+            enc = comp._blosclz_compress(raw)
+            assert comp._blosclz_decompress(enc, len(raw)) == raw
+
+
+def test_blosc_shuffled_chunk_decodes():
+    """Byte-shuffled chunks (typesize > 1, as a stock c-blosc writer
+    would produce for typed data) unshuffle on decode."""
+    from hypredrive_tpu.io import comp
+
+    data = np.arange(8192, dtype=np.float32).tobytes()
+    typesize, blocksize = 4, 4096
+    nblocks = len(data) // blocksize
+    blobs, bstarts = [], []
+    pos = 16 + 4 * nblocks
+    for j in range(nblocks):
+        chunk = comp._byte_shuffle(
+            data[j * blocksize:(j + 1) * blocksize], typesize)
+        # typesize 4 <= MAX_SPLITS and blocksize/typesize >= 128 ->
+        # split into `typesize` streams, each [i32 csize][payload]
+        nsb = blocksize // typesize
+        blob = b""
+        for k in range(typesize):
+            part = chunk[k * nsb:(k + 1) * nsb]
+            cz = comp._blosclz_compress(part)
+            if len(cz) >= nsb:
+                blob += nsb.to_bytes(4, "little", signed=True) + part
+            else:
+                blob += len(cz).to_bytes(4, "little", signed=True) + cz
+        bstarts.append(pos)
+        blobs.append(blob)
+        pos += len(blob)
+    frame = bytes([2, 1, 0x1, typesize]) \
+        + len(data).to_bytes(4, "little") \
+        + blocksize.to_bytes(4, "little") + pos.to_bytes(4, "little") \
+        + b"".join(b.to_bytes(4, "little") for b in bstarts) \
+        + b"".join(blobs)
+    assert comp.blosc_decompress(frame, len(data)) == data
+
+
+def test_blosc_lsseq_container_roundtrip(tmp_path):
+    """lsseq containers written with the blosc codec read back bit-exact
+    (the reference writes .blosc.bin containers; comp.c:105)."""
+    import scipy.sparse as sp
+    from hypredrive_tpu.io import lsseq
+
+    rng = np.random.default_rng(12)
+    A = sp.random(60, 60, density=0.1, random_state=rng, format="csr")
+    A = sp.csr_matrix(A + sp.identity(60))
+    systems = [{"A": A, "b": rng.standard_normal(60)} for _ in range(2)]
+    path = str(tmp_path / "seq.blosc.bin")
+    lsseq.write_lsseq(path, systems, codec=5)
+    r = lsseq.LSSeqFile(path)
+    assert r.codec == 5
+    A0 = r.read_matrix(0)
+    assert abs(A0 - A).max() < 1e-14
+
+
+def test_blosc_malformed_chunks_raise():
+    from hypredrive_tpu.io import comp
+    from hypredrive_tpu.core.errors import HypredrvError
+
+    good = comp.blosc_compress(b"hello world " * 100)
+    for bad in (good[:10],                       # truncated header
+                good[:16],                       # missing bstarts
+                good[:len(good) // 2],           # truncated payload
+                bytes([2, 1, 0x4, 1]) + good[4:16]):   # bit-shuffle flag
+        try:
+            comp.blosc_decompress(bad, 1200)
+        except HypredrvError:
+            pass
+        else:
+            raise AssertionError(f"malformed chunk accepted: {bad[:8]!r}")
