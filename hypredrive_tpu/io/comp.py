@@ -33,6 +33,14 @@ _EXTS = {"zz": COMP_ZLIB, "gz": COMP_ZLIB, "zst": COMP_ZSTD,
 _SIZE = struct.Struct("<Q")        # uint64 original-size prefix
 
 
+def _max_decompressed_bytes() -> int:
+    """Decompression cap against malicious size prefixes (CWE-789);
+    ref: comp.c:36 HYPREDRV_MAX_DECOMPRESSED_BYTES (16 GiB default)."""
+    import os
+
+    return int(os.environ.get("HYPREDRV_MAX_DECOMPRESSED_BYTES", 16 << 30))
+
+
 def codec_name(codec: int) -> str:
     return _NAMES.get(codec, f"unknown({codec})")
 
@@ -463,26 +471,41 @@ def decompress(codec: int, data: bytes) -> bytes:
     if len(data) < _SIZE.size:
         raise HypredrvError("compressed blob too short", ErrorCode.IO)
     (orig_size,) = _SIZE.unpack_from(data)
-    body = bytes(data[_SIZE.size:])
-    if codec == COMP_ZLIB:
-        out = zlib.decompress(body)
-    elif codec == COMP_ZSTD:
-        try:
-            import zstandard
-
-            out = zstandard.ZstdDecompressor().decompress(
-                body, max_output_size=max(1, orig_size))
-        except ImportError:
-            raise HypredrvError("zstandard not available",
-                                ErrorCode.NOT_IMPLEMENTED)
-    elif codec in (COMP_LZ4, COMP_LZ4HC):
-        out = _lz4_block_decompress(body, orig_size)
-    elif codec == COMP_BLOSC:
-        out = blosc_decompress(body, orig_size)
-    else:
+    if orig_size > _max_decompressed_bytes():
+        # mirror the reference's decompressed-size cap against malicious
+        # headers (ref: comp.c:36 HYPREDRV_MAX_DECOMPRESSED_BYTES)
         raise HypredrvError(
-            f"codec {codec_name(codec)} not available in this build",
-            ErrorCode.NOT_IMPLEMENTED)
+            f"blob advertises {orig_size} decompressed bytes "
+            f"(cap {_max_decompressed_bytes()})", ErrorCode.IO)
+    body = bytes(data[_SIZE.size:])
+    try:
+        if codec == COMP_ZLIB:
+            out = zlib.decompress(body)
+        elif codec == COMP_ZSTD:
+            try:
+                import zstandard
+
+                out = zstandard.ZstdDecompressor().decompress(
+                    body, max_output_size=max(1, orig_size))
+            except ImportError:
+                raise HypredrvError("zstandard not available",
+                                    ErrorCode.NOT_IMPLEMENTED)
+        elif codec in (COMP_LZ4, COMP_LZ4HC):
+            out = _lz4_block_decompress(body, orig_size)
+        elif codec == COMP_BLOSC:
+            out = blosc_decompress(body, orig_size)
+        else:
+            raise HypredrvError(
+                f"codec {codec_name(codec)} not available in this build",
+                ErrorCode.NOT_IMPLEMENTED)
+    except HypredrvError:
+        raise
+    except Exception as e:
+        # zlib.error / zstandard.ZstdError / struct noise from corrupt
+        # streams all surface as the typed IO error (fuzz contract: a
+        # malformed blob never escapes untyped)
+        raise HypredrvError(
+            f"corrupt {codec_name(codec)} stream: {e}", ErrorCode.IO)
     if len(out) != orig_size:
         raise HypredrvError(
             f"decompressed size mismatch ({len(out)} vs {orig_size})",

@@ -42,6 +42,21 @@ from ..core.errors import HypredrvError, ErrorCode
 _IDX = {4: np.int32, 8: np.int64}
 _VAL = {4: np.float32, 8: np.float64}
 
+# Allocation guard for fuzzed/corrupt headers (mirrors the reference's
+# HYPREDRV_MAX_DECOMPRESSED_BYTES cap, ref: src/internal/comp.c:36): a
+# header-advertised dimension may not demand more index memory than this.
+_MAX_ALLOC_BYTES = int(os.environ.get("HYPREDRV_MAX_ALLOC_BYTES",
+                                      16 << 30))
+
+
+def _check_dims(nrows: int, ncols: int, path: str, code):
+    """Reject absurd header dimensions before any allocation happens."""
+    if nrows < 0 or ncols < 0 or nrows > (1 << 31) or ncols > (1 << 31) \
+            or 8 * (nrows + ncols + 2) > _MAX_ALLOC_BYTES:
+        raise HypredrvError(
+            f"implausible dimensions {nrows}x{ncols} advertised by {path}",
+            code)
+
 
 # ---------------------------------------------------------------------------
 # ASCII
@@ -80,6 +95,7 @@ def read_matrix_ascii(path: str) -> Tuple[sp.csr_matrix, int]:
         _check_finite(vals, path)
     nrows = iupper - ilower + 1
     ncols = jupper - jlower + 1
+    _check_dims(nrows, ncols, path, ErrorCode.MATRIX)
     if len(rows) and (rows.min() < 0 or cols.min() < 0
                       or rows.max() >= nrows or cols.max() >= ncols):
         raise HypredrvError(
@@ -127,6 +143,7 @@ def read_vector_ascii(path: str) -> Tuple[np.ndarray, int]:
                             ErrorCode.VECTOR)
     ilower, iupper = int(first[0]), int(first[1])
     n = iupper - ilower + 1
+    _check_dims(n, 0, path, ErrorCode.VECTOR)
     data = np.loadtxt(path, skiprows=1, ndmin=2)
     out = np.zeros(n, np.float64)
     if data.size:
@@ -185,6 +202,7 @@ def read_matrix_binary_part(path: str):
     if len(rows) != nnz or len(cols) != nnz or len(vals) != nnz:
         raise HypredrvError(f"truncated matrix part {path}", ErrorCode.MATRIX)
     nrows_g, ncols_g = int(header[3]), int(header[4])
+    _check_dims(nrows_g, ncols_g, path, ErrorCode.MATRIX)
     if nnz and (rows.min() < 0 or cols.min() < 0):
         raise HypredrvError(
             f"detected negative matrix index while reading {path}",

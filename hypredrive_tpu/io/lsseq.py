@@ -207,6 +207,16 @@ def write_lsseq(filename: str, systems: List[dict], codec: int = comp.COMP_ZLIB,
 # reader
 # ---------------------------------------------------------------------------
 
+def _typed_frombuffer(buf: bytes, dtype):
+    """np.frombuffer with the fuzz contract: a blob whose size is not a
+    multiple of the element size raises the typed IO error."""
+    if len(buf) % np.dtype(dtype).itemsize:
+        raise HypredrvError(
+            f"lsseq blob size {len(buf)} not a multiple of "
+            f"{np.dtype(dtype).itemsize}", ErrorCode.IO)
+    return np.frombuffer(buf, dtype=dtype)
+
+
 class LSSeqFile:
     def __init__(self, filename: str):
         self.filename = filename
@@ -230,6 +240,10 @@ class LSSeqFile:
         # info block
         self.info: Dict[str, str] = {}
         if self.flags & FLAG_HAS_INFO:
+            if len(raw) < _HDR.size + _INFO.size:
+                raise HypredrvError(
+                    f"truncated lsseq info block in {filename}",
+                    ErrorCode.IO)
             (im, iv, ifl, endian, _res, psize, phash, bhash, bbytes) = \
                 _INFO.unpack_from(raw, _HDR.size)
             if im != LSSEQ_INFO_MAGIC or endian != ENDIAN_TAG:
@@ -244,22 +258,51 @@ class LSSeqFile:
                     k, v = line.split("=", 1)
                     self.info[k] = v
 
-        self.parts = [_PART.unpack_from(raw, self.off_part + i * _PART.size)
-                      for i in range(self.num_parts)]
-        self.patterns = [
-            _PATTERN.unpack_from(raw, self.off_pattern + i * _PATTERN.size)
-            for i in range(self.num_patterns)]
-        self.sys_parts = [
-            [_SYSPART.unpack_from(
-                raw, self.off_syspart
-                + (s * self.num_parts + p) * _SYSPART.size)
-             for p in range(self.num_parts)]
-            for s in range(self.num_systems)]
-        self.timesteps = [
-            _TIMESTEP.unpack_from(raw, self.off_ts + i * _TIMESTEP.size)
-            for i in range(self.num_timesteps)]
+        # validate every advertised table against the actual file size
+        # BEFORE unpacking (fuzz contract: corrupt counts/offsets raise
+        # the typed IO error, never struct.error or a giant allocation;
+        # ref: lsseq.c header validation)
+        total = len(raw)
+        tables = (
+            ("part", self.off_part, self.num_parts, _PART.size),
+            ("pattern", self.off_pattern, self.num_patterns,
+             _PATTERN.size),
+            ("syspart", self.off_syspart,
+             self.num_systems * self.num_parts, _SYSPART.size),
+            ("timestep", self.off_ts, self.num_timesteps,
+             _TIMESTEP.size),
+        )
+        for name, off, cnt, sz in tables:
+            if not (0 <= cnt <= total and 0 <= off <= total
+                    and off + cnt * sz <= total):
+                raise HypredrvError(
+                    f"lsseq {name} table out of bounds in {filename} "
+                    f"(offset {off}, count {cnt})", ErrorCode.IO)
+        try:
+            self.parts = [
+                _PART.unpack_from(raw, self.off_part + i * _PART.size)
+                for i in range(self.num_parts)]
+            self.patterns = [
+                _PATTERN.unpack_from(raw,
+                                     self.off_pattern + i * _PATTERN.size)
+                for i in range(self.num_patterns)]
+            self.sys_parts = [
+                [_SYSPART.unpack_from(
+                    raw, self.off_syspart
+                    + (s * self.num_parts + p) * _SYSPART.size)
+                 for p in range(self.num_parts)]
+                for s in range(self.num_systems)]
+            self.timesteps = [
+                _TIMESTEP.unpack_from(raw, self.off_ts + i * _TIMESTEP.size)
+                for i in range(self.num_timesteps)]
+        except struct.error as e:
+            raise HypredrvError(f"corrupt lsseq tables in {filename}: {e}",
+                                ErrorCode.IO)
 
     def _blob(self, off: int, size: int) -> bytes:
+        if off < 0 or size < 0 or \
+                self.off_blob + off + size > len(self.raw):
+            raise HypredrvError("lsseq blob out of bounds", ErrorCode.IO)
         data = self.raw[self.off_blob + off:self.off_blob + off + size]
         return comp.decompress(self.codec, data)
 
@@ -278,14 +321,32 @@ class LSSeqFile:
         if not 0 <= ls_id < self.num_systems:
             raise HypredrvError(f"lsseq: system {ls_id} out of range",
                                 ErrorCode.INVALID_ARG)
+        if not self.parts:
+            raise HypredrvError("lsseq has no part table", ErrorCode.IO)
         nrows = max(int(p[1]) for p in self.parts) + 1
+        if not 0 < nrows <= (1 << 31):
+            raise HypredrvError(
+                f"lsseq advertises implausible row count {nrows}",
+                ErrorCode.IO)
         all_r, all_c, all_v = [], [], []
         for p in range(self.num_parts):
             (pid, _fl, nnz, v_off, v_size, *_rest) = self.sys_parts[ls_id][p]
+            if not 0 <= pid < self.num_patterns:
+                raise HypredrvError(
+                    f"lsseq pattern id {pid} out of range", ErrorCode.IO)
             pat = self.patterns[pid]
-            rows = np.frombuffer(self._blob(pat[3], pat[4]), dtype=np.int64)
-            cols = np.frombuffer(self._blob(pat[5], pat[6]), dtype=np.int64)
-            vals = np.frombuffer(self._blob(v_off, v_size), dtype=np.float64)
+            rows = _typed_frombuffer(self._blob(pat[3], pat[4]), np.int64)
+            cols = _typed_frombuffer(self._blob(pat[5], pat[6]), np.int64)
+            vals = _typed_frombuffer(self._blob(v_off, v_size), np.float64)
+            if len(rows) != len(cols) or len(rows) != len(vals):
+                raise HypredrvError(
+                    "lsseq pattern/value blob lengths disagree",
+                    ErrorCode.IO)
+            if len(rows) and (rows.min() < 0 or cols.min() < 0
+                              or rows.max() >= nrows
+                              or cols.max() >= nrows):
+                raise HypredrvError(
+                    "lsseq matrix entry out of bounds", ErrorCode.IO)
             all_r.append(rows)
             all_c.append(cols)
             all_v.append(vals)
@@ -300,8 +361,8 @@ class LSSeqFile:
         out = []
         for p in range(self.num_parts):
             m = self.sys_parts[ls_id][p]
-            out.append(np.frombuffer(self._blob(m[5], m[6]),
-                                     dtype=np.float64))
+            out.append(_typed_frombuffer(self._blob(m[5], m[6]),
+                                         np.float64))
         return np.concatenate(out)
 
     def read_dofmap(self, ls_id: int) -> Optional[np.ndarray]:
@@ -312,8 +373,8 @@ class LSSeqFile:
             m = self.sys_parts[ls_id][p]
             if m[9] == 0:
                 return None
-            out.append(np.frombuffer(self._blob(m[7], m[8]),
-                                     dtype=np.int32))
+            out.append(_typed_frombuffer(self._blob(m[7], m[8]),
+                                         np.int32))
         return np.concatenate(out).astype(np.int64)
 
     def read_timesteps(self) -> List[Tuple[int, int]]:

@@ -274,3 +274,40 @@ def test_solve_rejects_shape_mismatch():
             drv.set_rhs(np.ones(9))
     finally:
         drv.destroy()
+
+
+# ---------------------------------------------------------------------------
+# coverage-guided fuzz regression replay (scripts/fuzz_loop.py saves
+# minimized crashing inputs here — the reference replays
+# tests/fuzz/regressions/* the same way as CTest label fuzz-replay)
+# ---------------------------------------------------------------------------
+
+_CORPUS = os.path.join(os.path.dirname(__file__), "fuzz_corpus")
+
+
+def _corpus_cases():
+    cases = []
+    if os.path.isdir(_CORPUS):
+        for mode in sorted(os.listdir(_CORPUS)):
+            d = os.path.join(_CORPUS, mode)
+            for name in sorted(os.listdir(d)):
+                cases.append((mode, os.path.join(d, name)))
+    return cases
+
+
+@pytest.mark.parametrize("mode,path", _corpus_cases() or
+                         [("none", "")])
+def test_replay_fuzz_corpus(mode, path):
+    """Every saved fuzz regression must raise typed errors only."""
+    if mode == "none":
+        pytest.skip("no saved fuzz corpus")
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from fuzz_loop import TARGETS
+
+    data = open(path, "rb").read()
+    try:
+        TARGETS[mode](data)
+    except (HypredrvError, ConfigError):
+        pass        # typed rejection is the contract
