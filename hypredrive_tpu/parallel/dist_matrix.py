@@ -120,17 +120,57 @@ class DistEllMatrix:
 
         row_off = row_partition(rows_pad, n_shards)
         col_off = row_partition(cols_pad, n_shards)
-        rows_max = int((row_off[1:] - row_off[:-1]).max())
 
-        # per-shard needed columns → halo plan
-        needed = []
         subs = []
         for s in range(n_shards):
             lo, hi = int(row_off[s]), int(row_off[s + 1])
             sub = sp.csr_matrix(A[lo:hi])
             sub.sort_indices()
             subs.append(sub)
-            needed.append(np.unique(sub.indices))
+        return cls._from_local_blocks(
+            subs, mesh, col_off, (rows_pad, cols_pad), (n_rows, n_cols),
+            int(A.nnz), dtype)
+
+    @classmethod
+    def from_parts(cls, parts, mesh: Mesh, n_cols: int,
+                   dtype=jnp.float64) -> "DistEllMatrix":
+        """Build directly from per-shard row blocks (global columns) —
+        the distributed-setup path: the global matrix is never
+        assembled.  All parts must have equal row counts and the global
+        row/col sizes must be multiples of n_shards (the dist setup's
+        bucket padding guarantees this)."""
+        n_shards = int(mesh.devices.size)
+        if len(parts) != n_shards:
+            raise ValueError(f"need {n_shards} parts, got {len(parts)}")
+        rows_each = parts[0].shape[0]
+        if any(p.shape[0] != rows_each for p in parts):
+            raise ValueError("parts must have equal row counts")
+        rows_pad = rows_each * n_shards
+        if n_cols % n_shards:
+            raise ValueError("global column count must divide n_shards")
+        col_off = row_partition(n_cols, n_shards)
+        subs = []
+        for p in parts:
+            sub = sp.csr_matrix(p)
+            if sub.shape[1] != n_cols:
+                sub = sub.copy()
+                sub.resize((sub.shape[0], n_cols))
+            sub.sort_indices()
+            subs.append(sub)
+        nnz = int(sum(p.nnz for p in subs))
+        return cls._from_local_blocks(
+            subs, mesh, col_off, (rows_pad, n_cols), (rows_pad, n_cols),
+            nnz, dtype)
+
+    @classmethod
+    def _from_local_blocks(cls, subs, mesh, col_off, pad_shape,
+                           orig_shape, nnz, dtype) -> "DistEllMatrix":
+        n_shards = int(mesh.devices.size)
+        rows_pad, cols_pad = pad_shape
+        rows_max = rows_pad // n_shards
+
+        # per-shard needed columns → halo plan
+        needed = [np.unique(sub.indices) for sub in subs]
         plan, recv_pos = build_halo_plan(n_shards, col_off, needed)
 
         # remap each shard's columns into x_ext positions
@@ -145,19 +185,28 @@ class DistEllMatrix:
                 rp = recv_pos[s]
                 mapped[~local] = np.array(
                     [rp[int(c)] for c in g[~local]], dtype=np.int64)
+            # copy data/indptr: loc.sort_indices() below permutes data
+            # in place, and sharing it would silently corrupt the
+            # caller's part matrices (the from_parts path passes
+            # caller-owned CSR blocks)
             loc = sp.csr_matrix(
-                (sub.data, mapped, sub.indptr),
+                (sub.data.copy(), mapped, sub.indptr.copy()),
                 shape=(rows_max, plan.ext_size))
             loc.sort_indices()
             locals_remapped.append(loc)
 
-        # pass 1: discover per-shard structure; unify
+        # pass 1: discover per-shard structure; unify.  max_k/max_t are
+        # bucketed (16-wide ELL steps, 128-slot tails) so same-pattern
+        # systems of a sequence land on one compiled shard signature —
+        # the mesh twin of the single-chip shape-stability buckets.
         probes = [EllMatrix.from_csr(loc, dtype=dtype, layout="ell")
                   for loc in locals_remapped]
         union_offsets = tuple(sorted(set().union(
             *(set(p.dia_offsets) for p in probes))))
-        max_k = max(p.k for p in probes)
+        max_k = _round_up(max(p.k for p in probes), 16)
         max_t = max(p.tail_rows.shape[0] for p in probes)
+        if max_t:
+            max_t = max(_round_up(max_t, 128), 128)
 
         # pass 2: rebuild with pinned structure
         hybrids = [EllMatrix.from_csr(
@@ -188,8 +237,8 @@ class DistEllMatrix:
             tail_rows=tr, tail_cols=tc, tail_vals=tv,
             send_idx=send_dev, mesh=mesh,
             dia_offsets=union_offsets, offsets=plan.offsets,
-            shape=(rows_pad, cols_pad), orig_shape=(n_rows, n_cols),
-            nnz=int(A.nnz), local_max=plan.local_max,
+            shape=(rows_pad, cols_pad), orig_shape=orig_shape,
+            nnz=nnz, local_max=plan.local_max,
             ext_size=plan.ext_size)
 
     # ------------------------------------------------------------------

@@ -25,15 +25,28 @@ def _tri_jacobi(d_inv, T, r):
     return z
 
 
-def _smooth(level: AMGLevel, x, b, sweeps: int, phase: str = "pre"):
+def _smooth(level: AMGLevel, x, b, sweeps: int, phase: str = "pre",
+            zero_guess: bool = False):
     """sweeps × (x += B(b − Ax)) with the level's smoother.
 
     ``phase`` matters only for the AIR F/C schedule (ref: amg.c:986-1015):
     the down cycle relaxes all points, the up cycle relaxes F-points with
     a trailing C-point sweep when there are more than two sweeps.
+
+    ``zero_guess`` marks x == 0 on entry: the first sweep's residual is
+    then just b, saving one A-matvec per level per cycle (hypre's own
+    relax-on-zero-guess fast path; the pre-smooth of every cycle level
+    starts from e₀ = 0).
     """
     if sweeps <= 0:
         return x
+
+    def resid(x, first):
+        # b − A·x, with A·0 elided on the first sweep of a zero guess
+        if first and zero_guess:
+            return b
+        return b - A.matvec(x)
+
     A = level.A
     kind = level.smoother
     arrays = level.smooth_arrays
@@ -46,18 +59,19 @@ def _smooth(level: AMGLevel, x, b, sweeps: int, phase: str = "pre"):
         # ω = 1/λmax(GᵀG·A) keeps the sweep contractive (hypre FSAI
         # eig_max_iters smoothing scale)
         G, GT, omega = arrays
-        for _ in range(sweeps):
-            x = x + omega * GT.matvec(G.matvec(b - A.matvec(x)))
+        for i in range(sweeps):
+            x = x + omega * GT.matvec(G.matvec(resid(x, i == 0)))
         return x
     if kind in ("gs-fwd", "gs-bwd", "gs-sym"):
         # hybrid Gauss-Seidel: x += (D+L)⁻¹(b−Ax) with Jacobi-iterated
         # triangular solves (ref: amg.c relax types 3/4/6/8/13/14/89)
         d_inv, L, U = arrays
-        for _ in range(sweeps):
+        for i in range(sweeps):
             if kind in ("gs-fwd", "gs-sym"):
-                x = x + _tri_jacobi(d_inv, L, b - A.matvec(x))
+                x = x + _tri_jacobi(d_inv, L, resid(x, i == 0))
             if kind in ("gs-bwd", "gs-sym"):
-                x = x + _tri_jacobi(d_inv, U, b - A.matvec(x))
+                x = x + _tri_jacobi(d_inv, U,
+                                    resid(x, i == 0 and kind == "gs-bwd"))
         return x
     if kind.startswith("air-"):
         d_inv, fmask = arrays
@@ -67,27 +81,27 @@ def _smooth(level: AMGLevel, x, b, sweeps: int, phase: str = "pre"):
                     else fmask
             else:
                 mask = 1.0
-            x = x + mask * d_inv * (b - A.matvec(x))
+            x = x + mask * d_inv * resid(x, k == 0)
         return x
     if kind == "chebyshev":
         d_inv, theta, delta, rhos = arrays
         order = rhos.shape[0]
-        for _ in range(sweeps):
+        for i in range(sweeps):
             # Chebyshev on the residual equation A e = r, x += e
-            r = b - A.matvec(x)
+            r = resid(x, i == 0)
             z = d_inv * r / theta
             d = z
             rho_prev = rhos[0]
             for k in range(1, order):
-                resid = d_inv * (r - A.matvec(z))
-                d = rhos[k] * rho_prev * d + (2.0 * rhos[k] / delta) * resid
+                rk = d_inv * (r - A.matvec(z))
+                d = rhos[k] * rho_prev * d + (2.0 * rhos[k] / delta) * rk
                 z = z + d
                 rho_prev = rhos[k]
             x = x + z
         return x
     (d_inv,) = arrays
-    for _ in range(sweeps):
-        x = x + d_inv * (b - A.matvec(x))
+    for i in range(sweeps):
+        x = x + d_inv * resid(x, i == 0)
     return x
 
 
@@ -106,7 +120,8 @@ def _cycle(state: AMGState, lvl: int, b):
         return z
 
     x = jnp.zeros_like(b)
-    x = _smooth(level, x, b, level.pre_sweeps, phase="pre")
+    x = _smooth(level, x, b, level.pre_sweeps, phase="pre",
+                zero_guess=True)
     r = b - level.A.matvec(x)
     rc = level.R.matvec(r)
     ec = _cycle(state, lvl + 1, rc)

@@ -292,10 +292,46 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
     smoother vectors are padded+sharded accordingly — the cycle then runs
     multi-chip with ppermute halo exchanges.
 
+    ``A_host`` may also be a LIST of per-shard row blocks (global
+    columns, ParCSR decomposition).  With a mesh and a config inside
+    ``parallel.dist_setup.supports_dist_setup``, the entire setup then
+    runs distributed — per-shard strength/PMIS/interpolation/RAP with
+    one-ring halo exchanges, never materializing the global matrix
+    (ref: hypre ParCSR BoomerAMGSetup decomposition, SURVEY §2.9).
+    Configs outside that subset assemble globally with a warning.
+
     Single-chip on an accelerator: the ~100 per-level arrays are staged
     on the CPU backend and shipped with ONE batched device_put — through
     a remote-TPU tunnel this collapses per-array dispatch round-trips
     (the dominant setup cost) into a single pipelined transfer."""
+    if isinstance(A_host, (list, tuple)):
+        from ...parallel.dist_setup import (setup_hierarchy_dist,
+                                            supports_dist_setup)
+
+        if mesh is None:
+            raise ValueError("per-shard matrix parts require a mesh")
+        if supports_dist_setup(amg_args) and dof_func is None \
+                and interp_vectors is None:
+            return setup_hierarchy_dist(A_host, amg_args, mesh,
+                                        dtype=dtype)
+        from ...core.logging import log
+
+        log(1, "AMG config outside the distributed-setup subset; "
+               "assembling the global matrix for host-global setup")
+        A_host = sp.csr_matrix(sp.vstack(A_host))
+    elif mesh is not None:
+        from ...parallel.dist_setup import (setup_hierarchy_dist,
+                                            split_rows,
+                                            supports_dist_setup)
+
+        if supports_dist_setup(amg_args) and dof_func is None \
+                and interp_vectors is None:
+            # run the distributed setup even from a host-global matrix:
+            # one code path for the mesh hierarchy (split is the I/O
+            # layer's job in a true multi-host run)
+            return setup_hierarchy_dist(
+                split_rows(sp.csr_matrix(A_host), int(mesh.devices.size)),
+                amg_args, mesh, dtype=dtype)
     if mesh is None and jax.default_backend() not in ("cpu",):
         try:
             cpu0 = jax.devices("cpu")[0]

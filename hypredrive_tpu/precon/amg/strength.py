@@ -19,11 +19,16 @@ import scipy.sparse as sp
 
 
 def strength_graph(A: sp.csr_matrix, theta: float = 0.25, sabs: bool = False,
-                   dof_func: Optional[np.ndarray] = None) -> sp.csr_matrix:
-    """Boolean CSR S: S[i,j]=1 ⇔ i strongly depends on j (j≠i)."""
+                   dof_func: Optional[np.ndarray] = None,
+                   row_offset: int = 0) -> sp.csr_matrix:
+    """Boolean CSR S: S[i,j]=1 ⇔ i strongly depends on j (j≠i).
+
+    ``row_offset``: global id of local row 0 — lets a distributed
+    row-block (local rows, global columns) identify its diagonal
+    entries; strength is otherwise row-local (ParCSR decomposition)."""
     A = sp.csr_matrix(A)
     n = A.shape[0]
-    if A.has_sorted_indices:
+    if A.has_sorted_indices and row_offset == 0 and A.shape[0] == A.shape[1]:
         try:
             from ...io.native import amg_strength
 
@@ -38,9 +43,10 @@ def strength_graph(A: sp.csr_matrix, theta: float = 0.25, sabs: bool = False,
     indptr, indices, data = A.indptr, A.indices, A.data
 
     rows = np.repeat(np.arange(n), np.diff(indptr))
-    offdiag = indices != rows
+    offdiag = indices != (rows + row_offset if row_offset else rows)
     if dof_func is not None:
-        same_func = dof_func[rows] == dof_func[indices]
+        # dof_func is indexed in the COLUMN (global) space
+        same_func = dof_func[rows + row_offset] == dof_func[indices]
         offdiag = offdiag & same_func
 
     if sabs:

@@ -171,3 +171,108 @@ def test_dist_amg_air_matches_single_chip(mesh):
     rd = pad_vector(r, stateN.levels[0].A.shape[0], mesh)
     zN = np.asarray(jax.jit(amg_apply)(stateN, rd))[:n]
     np.testing.assert_allclose(zN, z1, rtol=1e-10, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# distributed hierarchy setup (parallel/dist_setup.py — ref: hypre ParCSR
+# BoomerAMGSetup decomposition, SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+def test_dist_setup_bit_identical_cf_and_P(mesh):
+    """Per-shard strength/PMIS/ext+i produce bit-identical C/F splits
+    and interpolation rows vs the host-global setup, without assembling
+    the global matrix."""
+    import scipy.sparse as sp
+    from hypredrive_tpu.ops.csr import laplacian_3d_7pt
+    from hypredrive_tpu.precon.amg.strength import strength_graph
+    from hypredrive_tpu.precon.amg.coarsen import pmis, hmis
+    from hypredrive_tpu.precon.amg.interp import build_interpolation
+    from hypredrive_tpu.parallel import dist_setup as ds
+
+    A = laplacian_3d_7pt(12, dtype=np.float64)
+    parts = ds.split_rows(A, 8)
+    off = ds.offsets_of(parts)
+    S_g = strength_graph(A, theta=0.25)
+    S_p = [strength_graph(parts[s], theta=0.25, row_offset=int(off[s]))
+           for s in range(8)]
+    assert (S_g != sp.csr_matrix(sp.vstack(S_p))).nnz == 0
+
+    cf_g = pmis(S_g, seed=3)
+    cf_d = np.concatenate(ds.pmis_dist(S_p, off, seed=3))
+    assert np.array_equal(cf_g, cf_d)
+    assert np.array_equal(
+        hmis(S_g, seed=1), np.concatenate(ds.hmis_dist(S_p, off, seed=1)))
+
+    P_g = build_interpolation(A, S_g, cf_g, prolongation_type=6,
+                              trunc_factor=0.0, max_nnz_row=4)
+    cf_p = [cf_g[int(off[s]):int(off[s + 1])] for s in range(8)]
+    P_parts, c_off = ds.build_P_dist(parts, S_p, off, cf_p, 6, 0.0, 4)
+    P_d = sp.csr_matrix(sp.vstack(P_parts))
+    assert abs(P_g - P_d).max() < 1e-14
+
+    Ac_g = sp.csr_matrix(P_g.T @ A @ P_g)
+    Ac_d = sp.csr_matrix(sp.vstack(ds.rap_dist(parts, P_parts, off, c_off)))
+    assert abs(Ac_g - Ac_d).max() < 1e-12
+
+
+def test_dist_setup_end_to_end_iterations_match(mesh):
+    """setup_hierarchy on per-shard parts (mesh) matches the host-global
+    hierarchy's PCG iteration count."""
+    import scipy.sparse as sp
+    from hypredrive_tpu.ops.csr import laplacian_3d_7pt
+    from hypredrive_tpu.config.sections import AMG_SCHEMA
+    from hypredrive_tpu.parallel import dist_setup as ds
+    from hypredrive_tpu.parallel.dist_matrix import DistEllMatrix, pad_vector
+    from hypredrive_tpu.precon.amg.hierarchy import setup_hierarchy
+    from hypredrive_tpu.precon.amg.cycle import amg_apply
+    from hypredrive_tpu.solvers.pcg import _pcg_core
+
+    A = laplacian_3d_7pt(12, dtype=np.float64)
+    n = A.shape[0]
+    args = AMG_SCHEMA.defaults()
+    parts = ds.split_rows(A, 8)
+    state_d = setup_hierarchy(parts, args, dtype=jnp.float64, mesh=mesh)
+    assert state_d.mesh is mesh
+
+    D0 = state_d.levels[0].A
+    b = pad_vector(np.ones(n), D0.shape[0], mesh)
+    x0 = pad_vector(np.zeros(n), D0.shape[0], mesh)
+
+    @jax.jit
+    def solve(D, s, b, x0):
+        return _pcg_core(lambda v: D.matvec(v), lambda r: amg_apply(s, r),
+                         b, x0, jnp.asarray(1e-8), jnp.asarray(0.0),
+                         100, True, 0)
+
+    it_d = int(solve(D0, state_d, b, x0)[1])
+
+    state_h = setup_hierarchy(A, args, dtype=jnp.float64)
+    Ah = state_h.levels[0].A
+
+    @jax.jit
+    def solveh(Ah, s, b, x0):
+        return _pcg_core(lambda v: Ah.matvec(v), lambda r: amg_apply(s, r),
+                         b, x0, jnp.asarray(1e-8), jnp.asarray(0.0),
+                         100, True, 0)
+
+    it_h = int(solveh(Ah, state_h, jnp.ones(n), jnp.zeros(n))[1])
+    assert abs(it_d - it_h) <= 1
+    assert it_d < 20
+
+
+def test_from_parts_does_not_mutate_caller_blocks(mesh):
+    """DistEllMatrix.from_parts must not corrupt the caller's CSR blocks
+    (sort_indices on shared data was a real bug)."""
+    import scipy.sparse as sp
+    from hypredrive_tpu.parallel.dist_matrix import DistEllMatrix
+    from hypredrive_tpu.parallel import dist_setup as ds
+
+    rng = np.random.default_rng(0)
+    A = sp.csr_matrix(sp.random(64, 64, 0.2, random_state=rng)
+                      + 4 * sp.identity(64))
+    parts = ds.split_rows(A, 8)
+    before = [(p.indices.copy(), p.data.copy()) for p in parts]
+    DistEllMatrix.from_parts(parts, mesh, 64, dtype=jnp.float64)
+    for p, (idx, dat) in zip(parts, before):
+        assert np.array_equal(p.indices, idx)
+        assert np.array_equal(p.data, dat)
