@@ -285,6 +285,132 @@ def multiphysics_block_system(ncell: int, ndof: int = 3, seed: int = 7,
     return A, dofmap
 
 
+def multiphysics_fv_system(nx: int, ndof: int = 3, seed: int = 7,
+                           contrast: float = 3.0, coupling: float = 0.6,
+                           anisotropy: float = 0.1, convection: float = 2.0,
+                           dtype=np.float64
+                           ) -> Tuple[sp.csr_matrix, np.ndarray]:
+    """Reference-difficulty multiphysics system: ``ndof`` interleaved
+    fields on an ``nx³`` finite-volume grid.
+
+    Stands in for the reference's compflow6k / poromech2k GEOS exports
+    (Zenodo-only, ref: data/README.md) at their *difficulty* — the
+    published goldens take 8-18 GMRES+MGR iterations
+    (refOutput/ex3.txt: 8, ex7.txt: 13/18/12/…), which requires
+
+    * high-contrast lognormal permeability (``contrast`` = log10 σ,
+      SPE10-class channels) with harmonic face averaging,
+    * vertical ``anisotropy`` (kz multiplier),
+    * an upwinded convection field on the transported dofs
+      (non-symmetric stencils, Péclet ~ ``convection``),
+    * strong two-way inter-field coupling (Biot/compressibility-style
+      dense cell blocks scaled by ``coupling``) so the MGR Schur
+      complement genuinely differs from the pressure block.
+
+    Returns (A, dofmap); field 0 is the elliptic (pressure) dof the MGR
+    configs keep coarse, fields 1.. are the eliminable transported dofs.
+    """
+    rng = np.random.default_rng(seed)
+    nc = nx ** 3
+    n = nc * ndof
+
+    # lognormal permeability with layered channels (SPE10 flavor)
+    logk = contrast * rng.standard_normal((nx, nx, nx))
+    layers = contrast * np.sin(np.arange(nx) * 2.3)[None, None, :]
+    K = 10.0 ** (logk * 0.5 + layers * 0.5)
+    kz_mult = np.full((nx, nx, nx), anisotropy)
+
+    idx = np.arange(nc).reshape(nx, nx, nx)
+    rows, cols, vals = [], [], []
+
+    def add_faces(axis, kmult):
+        sl_lo = [slice(None)] * 3
+        sl_hi = [slice(None)] * 3
+        sl_lo[axis] = slice(0, nx - 1)
+        sl_hi[axis] = slice(1, nx)
+        a = idx[tuple(sl_lo)].ravel()
+        b = idx[tuple(sl_hi)].ravel()
+        ka = (K * kmult)[tuple(sl_lo)].ravel()
+        kb = (K * kmult)[tuple(sl_hi)].ravel()
+        t = 2.0 * ka * kb / (ka + kb)          # harmonic face perm
+        return a, b, t
+
+    ones = np.ones((nx, nx, nx))
+    faces = [add_faces(0, ones), add_faces(1, ones), add_faces(2, kz_mult)]
+
+    # field 0: pressure diffusion
+    diag_p = np.zeros(nc)
+    for a, b, t in faces:
+        rows += [a * ndof, b * ndof]
+        cols += [b * ndof, a * ndof]
+        vals += [-t, -t]
+        np.add.at(diag_p, a, t)
+        np.add.at(diag_p, b, t)
+    diag_p += 1e-3 * K.ravel()                 # compressibility
+    rows.append(np.arange(nc) * ndof)
+    cols.append(np.arange(nc) * ndof)
+    vals.append(diag_p)
+
+    # transported fields: upwind convection + weak diffusion + mass
+    vel = [convection * rng.standard_normal(3) for _ in range(ndof)]
+    for f in range(1, ndof):
+        diag_f = np.full(nc, 1.0)              # mass/time term
+        for ax, (a, b, t) in enumerate(faces):
+            v = vel[f][ax]
+            upw = max(v, 0.0)
+            dnw = max(-v, 0.0)
+            d_small = 0.05 * t / (1.0 + t)     # weak diffusion
+            # upwind flux a -> b
+            rows += [b * ndof + f, a * ndof + f]
+            cols += [a * ndof + f, b * ndof + f]
+            vals += [-(upw + d_small), -(dnw + d_small)]
+            np.add.at(diag_f, a, upw + d_small)
+            np.add.at(diag_f, b, dnw + d_small)
+        rows.append(np.arange(nc) * ndof + f)
+        cols.append(np.arange(nc) * ndof + f)
+        vals.append(diag_f)
+
+    A = sp.csr_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows), np.concatenate(cols))), shape=(n, n))
+
+    # cell-local inter-field coupling, GEOS-flavored: the transported
+    # fields depend strongly on pressure (flux derivatives), pressure
+    # feels a weak feedback (compressibility/mobility) — one-way-
+    # dominant, so the cell blocks stay well-conditioned while the MGR
+    # Schur complement genuinely differs from the pressure block
+    dA = A.diagonal()
+    cr, cc, cv = [], [], []
+    u = 0.5 + 0.5 * rng.random((nc, ndof))
+    cells = np.arange(nc)
+    for f in range(1, ndof):
+        rf = cells * ndof + f
+        rp = cells * ndof
+        # transported field f <- pressure (strong)
+        cr.append(rf)
+        cc.append(rp)
+        cv.append(-coupling * u[:, f] * np.abs(dA[rf]))
+        # pressure <- field f (weak feedback)
+        cr.append(rp)
+        cc.append(rf)
+        cv.append(-0.15 * coupling * u[:, f] * np.abs(dA[rp])
+                  * np.abs(dA[rf]) / (np.abs(dA[rf]) + np.abs(dA[rp])))
+        # chain coupling between consecutive transported fields
+        if f + 1 < ndof:
+            rg = cells * ndof + f + 1
+            cr.append(rg)
+            cc.append(rf)
+            cv.append(-0.5 * coupling * u[:, f]
+                      * np.sqrt(np.abs(dA[rg]) * np.abs(dA[rf])))
+    A = A + sp.csr_matrix(
+        (np.concatenate(cv), (np.concatenate(cr), np.concatenate(cc))),
+        shape=(n, n))
+    A = sp.csr_matrix(A, dtype=dtype)
+    A.sort_indices()
+    dofmap = np.tile(np.arange(ndof), nc).astype(np.int32)
+    return A, dofmap
+
+
 # ---------------------------------------------------------------------------
 # small CSR helpers used by setup-phase algorithms
 # ---------------------------------------------------------------------------

@@ -101,7 +101,17 @@ class MGRState:
 # ---------------------------------------------------------------------------
 
 def _f_relax(level: MGRLevel, x, b):
-    """x_F += B_ff (b − A x)_F, f_sweeps times."""
+    """x_F += B_ff (b − A x)_F, f_sweeps times.
+
+    ``masked-jacobi`` is the distributed formulation: for diagonal B_ff,
+    x_F += D_ff⁻¹ r_F is exactly x += fmask·D⁻¹·r in the FULL space —
+    no F-index gather/scatter, so it runs on row-sharded operators
+    unchanged (f_state = the masked inverse-diagonal vector)."""
+    if level.f_kind == "masked-jacobi":
+        (mdinv,) = level.f_state
+        for _ in range(level.f_sweeps):
+            x = x + mdinv * (b - level.A.matvec(x))
+        return x
     for _ in range(level.f_sweeps):
         r = b - level.A.matvec(x)
         rf = r[level.f_idx]

