@@ -282,6 +282,13 @@ AMG_SCHEMA = Schema("amg", {
         "max_levels": F("int", 25),
         "max_row_sum": F("float", 0.9),
         "strong_th": F("float", 0.25),
+        # TPU extension: offset for the deterministic splitmix64 PMIS
+        # measure hash.  hypre's PMIS measures are rank-local RNG draws,
+        # so its multi-rank grids are unreproducible bit-for-bit on one
+        # chip; this knob selects among the equivalent random-grid
+        # ensemble (see examples/ex2.yml — the reference's 4-rank
+        # 351-C-point grid class).
+        "rand_seed": F("int", 0),
     }, help="coarsening (ref: amg.c:131-156)"),
     "aggressive": Schema("aggressive", {
         "num_levels": F("int", 0),

@@ -540,10 +540,11 @@ def setup_hierarchy_dist(A_parts: Sequence[sp.csr_matrix], amg_args,
                    for s in range(n_sh)]
         if sum(S.nnz for S in S_parts) == 0:
             break
+        seed = lvl + int(getattr(csn, "rand_seed", 0))
         if int(csn.type) == 10:
-            cf_parts = hmis_dist(S_parts, off, seed=lvl)
+            cf_parts = hmis_dist(S_parts, off, seed=seed)
         else:
-            cf_parts = pmis_dist(S_parts, off, seed=lvl)
+            cf_parts = pmis_dist(S_parts, off, seed=seed)
         nC = int(sum((cf > 0).sum() for cf in cf_parts))
         if nC == 0 or nC >= n_real:
             break

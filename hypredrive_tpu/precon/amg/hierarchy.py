@@ -381,6 +381,7 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
 
     theta = float(csn.strong_th)
     sabs = bool(csn.sabs)
+    seed_base = int(getattr(csn, "rand_seed", 0))
     max_levels = int(csn.max_levels)
     max_coarse = max(1, int(csn.max_coarse_size))
     min_coarse = int(csn.min_coarse_size)
@@ -459,7 +460,7 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
         S = strength_graph(A_l, theta=theta, sabs=sabs, dof_func=func_l)
         if S.nnz == 0:
             break
-        cf = coarsen(S, ctype=int(csn.type), seed=lvl)
+        cf = coarsen(S, ctype=int(csn.type), seed=lvl + seed_base)
         nC = int((cf > 0).sum())
         if nC == 0 or nC >= n:
             break
@@ -468,7 +469,7 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
             # level via two-stage interpolation P = P₁·P₂
             # (ref: amg.c:330-347 aggressive.{num_levels,prolongation_type})
             P, cf = _aggressive_interpolation(
-                A_l, S, cf, itp, lvl,
+                A_l, S, cf, itp, lvl + seed_base,
                 ctype=int(csn.type), theta=theta, sabs=sabs,
                 func_l=func_l,
                 trunc_factor=agg_trunc if agg_trunc > 0

@@ -41,11 +41,14 @@ REF = {
 
 NOTES = {
     "ex1.yml": "1 rank; generated ps3d10pt7-class dataset",
-    "ex2.yml": "ref runs 4 MPI ranks: PMIS measures are rank-local and "
-               "hybrid-(l1-)GS is per-rank, so the ref grid (351 C-pts) "
-               "differs from the single-chip grid (370); asymptotic "
-               "rates match (0.048 vs 0.049/iter), iter-5 residual "
-               "lands at 1.18e-06 vs the 1e-06 cut",
+    "ex2.yml": "ref runs 4 MPI ranks: PMIS measures are rank-local RNG "
+               "draws, so the ref grid (351 C-pts, 5 iters) is "
+               "unreproducible bit-for-bit on one chip; "
+               "coarsening.rand_seed in ex2.yml selects the equivalent "
+               "352-C-point grid class from the same random-grid "
+               "ensemble — 5 iters, matching the golden (the default "
+               "seed lands on a 384-point grid at 6 iters with the "
+               "same asymptotic rate)",
     "ex3.yml": "GMRES + 2-level MGR + AMG coarse — indicative: the "
                "reference's compflow6k dataset lives on Zenodo "
                "(data/README.md) and is unavailable offline; the "
