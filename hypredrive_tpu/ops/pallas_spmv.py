@@ -293,21 +293,27 @@ def _assemble_group(gops, dtype, target_device):
         for g in gops:
             g._assemble_now()
         return
-    # slot wire format: the slots of each chunk are strictly increasing,
-    # so ship uint16 GAPS and cumsum them back on device (7 B/nnz
-    # instead of 9) — falls back to absolute int32 when any gap
-    # overflows (> 64 consecutive fully-empty passes; doesn't happen for
-    # real operators, guarded anyway)
+    # slot wire format: absolute int32 slots by default.  The uint16
+    # delta encoding (7 B/nnz instead of 9; opt-in via
+    # HYPREDRV_DELTA_SLOTS=1 for byte-constrained links) decodes with a
+    # device cumsum whose XLA TPU compile is pathological — measured
+    # 16s+ per 2M-entry chunk, 60s of the 67s cold 64³ setup — while
+    # the absolute-slot scatter compiles in <1s; the extra 2 B/nnz cost
+    # ~20 ms of transfer.  Delta still falls back to absolute when any
+    # gap overflows uint16.
+    import os as _os
+
     slot_parts = [np.asarray(it[0]._packed[it[1]][3], np.int64)
                   for it in items]
     deltas = []
-    use_delta = True
-    for s in slot_parts:
-        d = np.diff(s, prepend=np.int64(0))
-        if len(d) and int(d.max()) >= (1 << 16):
-            use_delta = False
-            break
-        deltas.append(d.astype(np.uint16))
+    use_delta = _os.environ.get("HYPREDRV_DELTA_SLOTS", "0") == "1"
+    if use_delta:
+        for s in slot_parts:
+            d = np.diff(s, prepend=np.int64(0))
+            if len(d) and int(d.max()) >= (1 << 16):
+                use_delta = False
+                break
+            deltas.append(d.astype(np.uint16))
     elane = np.concatenate([it[0]._packed[it[1]][4] for it in items])
     ds = bool(gops[0].ds)
     if ds:
