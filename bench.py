@@ -47,7 +47,7 @@ def main():
     # be large enough that on-device time dominates (SpMV ~80 us/rep,
     # V-cycle ~10 ms/rep)
     reps = int(os.environ.get("HYPREDRV_BENCH_REPS", "2000"))
-    vreps = int(os.environ.get("HYPREDRV_BENCH_VREPS", "50"))
+    vreps = int(os.environ.get("HYPREDRV_BENCH_VREPS", "200"))
 
     A_host = laplacian_3d_7pt(nx, dtype=np.float32)
     n = A_host.shape[0]

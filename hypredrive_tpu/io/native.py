@@ -154,6 +154,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.hdrv_rap_fill.argtypes = [ctypes.c_void_p, i64p, i64p, f64p]
         lib.hdrv_rap_end.restype = None
         lib.hdrv_rap_end.argtypes = [ctypes.c_void_p]
+        lib.hdrv_dia_split_begin.restype = ctypes.c_void_p
+        lib.hdrv_dia_split_begin.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, i64p, i64p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int64]
+        lib.hdrv_dia_split_sizes.restype = None
+        lib.hdrv_dia_split_sizes.argtypes = [ctypes.c_void_p, i64p, i64p]
+        lib.hdrv_dia_split_fill.restype = None
+        lib.hdrv_dia_split_fill.argtypes = [
+            ctypes.c_void_p, i64p, f64p, i64p, i64p, ctypes.c_void_p]
         lib.hdrv_lz4_compress.restype = ctypes.c_int64
         lib.hdrv_lz4_compress.argtypes = [
             ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
@@ -430,3 +439,34 @@ def amg_rap(A, P):
         return Ac
     finally:
         lib.hdrv_rap_end(h)
+
+
+def dia_split(A, min_count: int, max_diags: int):
+    """Native DIA + rest split for the device-matrix builder; returns
+    (dia_offsets i64, dia_data (D, n) f64, r_rows i64, r_cols i64,
+    r_vals A-dtype) or None.  Semantics: ops/device_matrix.from_csr's
+    diagonal census/selection/split, in two threaded C passes."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, indptr, indices, data, is_f32 = _csr_arrays(A)
+    h = lib.hdrv_dia_split_begin(
+        n, A.shape[1], _i64p(indptr), _i64p(indices),
+        data.ctypes.data_as(ctypes.c_void_p), is_f32,
+        int(min_count), int(max_diags))
+    if not h:
+        return None
+    nd = np.zeros(1, np.int64)
+    nr = np.zeros(1, np.int64)
+    lib.hdrv_dia_split_sizes(h, _i64p(nd), _i64p(nr))
+    D, E = int(nd[0]), int(nr[0])
+    offsets = np.zeros(max(1, D), np.int64)
+    dia = np.empty((max(1, D), n), np.float64)
+    rr = np.empty(max(1, E), np.int64)
+    rc = np.empty(max(1, E), np.int64)
+    rv = np.empty(max(1, E), np.float32 if is_f32 else np.float64)
+    lib.hdrv_dia_split_fill(
+        h, _i64p(offsets), dia.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_double)),
+        _i64p(rr), _i64p(rc), rv.ctypes.data_as(ctypes.c_void_p))
+    return (offsets[:D], dia[:D], rr[:E], rc[:E], rv[:E])

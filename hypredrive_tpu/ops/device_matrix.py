@@ -125,46 +125,66 @@ class EllMatrix:
         if not A.has_sorted_indices:
             A.sort_indices()
         n_rows, n_cols = A.shape
-        counts_rows = np.diff(A.indptr)
-        rows_all = np.repeat(np.arange(n_rows), counts_rows)
-        cols_all = A.indices.astype(np.int64, copy=False)
-        vals_all = A.data.astype(np.float64, copy=False)
 
         dia_data = None
         dia_offsets: Tuple[int, ...] = ()
-        rest = np.ones(A.nnz, dtype=bool)
-        if force_dia_offsets is not None:
-            good = np.asarray(sorted(force_dia_offsets), dtype=np.int64)
-        elif use_dia and A.nnz:
-            # O(nnz) diagonal census via bincount over shifted offsets
-            # (np.unique's sort was a setup hot spot on coarse operators)
-            offs_all = cols_all - rows_all
-            shift = offs_all + (n_rows - 1)
-            cnt = np.bincount(shift, minlength=n_rows + n_cols - 1)
-            min_count = max(16, int(DIA_MIN_FRAC * n_rows))
-            good = np.flatnonzero(cnt >= min_count)
-            if len(good) > DIA_MAX_DIAGS:
-                good = good[np.argsort(-cnt[good], kind="stable")
-                            [:DIA_MAX_DIAGS]]
-                good.sort()
-            good = good - (n_rows - 1)
-        else:
-            good = np.empty(0, np.int64)
-        if len(good):
-            offs_all = cols_all - rows_all
-            dia_offsets = tuple(int(o) for o in good)
-            lut = np.zeros(n_rows + n_cols - 1, dtype=bool)
-            lut[good + (n_rows - 1)] = True
-            sel = lut[offs_all + (n_rows - 1)]
-            data = np.zeros((len(good), n_rows))
-            pos = np.searchsorted(good, offs_all[sel])
-            data[pos, rows_all[sel]] = vals_all[sel]
-            dia_data = data
-            rest = ~sel
+        r_rows = r_cols = r_vals = None
+        if force_dia_offsets is None and use_dia and A.nnz:
+            # native single-call census + selection + split (two
+            # threaded C passes instead of ~6 numpy passes over
+            # nnz-sized arrays — the dominant warm-setup cost)
+            try:
+                from ..io.native import dia_split
 
-        r_rows = rows_all[rest]
-        r_cols = cols_all[rest]
-        r_vals = vals_all[rest]
+                nat = dia_split(A, max(16, int(DIA_MIN_FRAC * n_rows)),
+                                DIA_MAX_DIAGS)
+            except Exception:
+                nat = None
+            if nat is not None:
+                offs, dia, r_rows, r_cols, r_vals = nat
+                if len(offs):
+                    dia_offsets = tuple(int(o) for o in offs)
+                    dia_data = dia
+
+        if r_rows is None:
+            counts_rows = np.diff(A.indptr)
+            rows_all = np.repeat(np.arange(n_rows), counts_rows)
+            cols_all = A.indices.astype(np.int64, copy=False)
+            vals_all = A.data.astype(np.float64, copy=False)
+            rest = np.ones(A.nnz, dtype=bool)
+            if force_dia_offsets is not None:
+                good = np.asarray(sorted(force_dia_offsets), dtype=np.int64)
+            elif use_dia and A.nnz:
+                # O(nnz) diagonal census via bincount over shifted offsets
+                # (np.unique's sort was a setup hot spot on coarse
+                # operators)
+                offs_all = cols_all - rows_all
+                shift = offs_all + (n_rows - 1)
+                cnt = np.bincount(shift, minlength=n_rows + n_cols - 1)
+                min_count = max(16, int(DIA_MIN_FRAC * n_rows))
+                good = np.flatnonzero(cnt >= min_count)
+                if len(good) > DIA_MAX_DIAGS:
+                    good = good[np.argsort(-cnt[good], kind="stable")
+                                [:DIA_MAX_DIAGS]]
+                    good.sort()
+                good = good - (n_rows - 1)
+            else:
+                good = np.empty(0, np.int64)
+            if len(good):
+                offs_all = cols_all - rows_all
+                dia_offsets = tuple(int(o) for o in good)
+                lut = np.zeros(n_rows + n_cols - 1, dtype=bool)
+                lut[good + (n_rows - 1)] = True
+                sel = lut[offs_all + (n_rows - 1)]
+                data = np.zeros((len(good), n_rows))
+                pos = np.searchsorted(good, offs_all[sel])
+                data[pos, rows_all[sel]] = vals_all[sel]
+                dia_data = data
+                rest = ~sel
+
+            r_rows = rows_all[rest]
+            r_cols = cols_all[rest]
+            r_vals = vals_all[rest]
 
         if layout == "auto":
             from .pallas_spmv import _backend_supports_pallas

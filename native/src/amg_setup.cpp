@@ -717,3 +717,167 @@ void hdrv_rap_fill(const hdrv_rap_handle *h, int64_t *indptr,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// DIA + rest split for the device-matrix builder (ops/device_matrix.py
+// from_csr): census the diagonal occupancy of a canonical CSR, select
+// diagonals present in >= min_count rows (top max_diags by count), emit
+// the dense per-diagonal data plus the remaining COO entries.  Replaces
+// ~6 numpy passes over nnz-sized arrays with two threaded C passes —
+// the dominant warm-setup cost on the 2-core host (ROADMAP perf #2).
+//   h = hdrv_dia_split_begin(n_rows, n_cols, indptr, indices, data,
+//                            is_f32, min_count, max_diags)
+//   hdrv_dia_split_sizes(h, &n_dia, &n_rest)
+//   hdrv_dia_split_fill(h, offsets, dia_data, r_rows, r_cols, r_vals)
+//   (fill frees the handle; buffers are caller-allocated:
+//    dia_data (n_dia * n_rows) f64 zero-filled by callee,
+//    r_vals f32 or f64 matching is_f32)
+// ---------------------------------------------------------------------------
+
+namespace {
+struct DiaSplitState {
+  int64_t n_rows, n_cols, nnz;
+  const int64_t *indptr;
+  const int64_t *indices;
+  const void *data;
+  int is_f32;
+  std::vector<int64_t> good;     // selected diagonal offsets (sorted)
+  std::vector<int32_t> lut;      // (col - row + n_rows - 1) -> dia idx | -1
+  int64_t n_rest;
+};
+
+static unsigned dia_nthreads() {
+  unsigned t = std::thread::hardware_concurrency();
+  return t ? (t > 8 ? 8 : t) : 2;
+}
+}  // namespace
+
+extern "C" {
+
+void *hdrv_dia_split_begin(int64_t n_rows, int64_t n_cols,
+                           const int64_t *indptr, const int64_t *indices,
+                           const void *data, int is_f32,
+                           int64_t min_count, int64_t max_diags) {
+  auto *h = new DiaSplitState();
+  h->n_rows = n_rows;
+  h->n_cols = n_cols;
+  h->nnz = indptr[n_rows];
+  h->indptr = indptr;
+  h->indices = indices;
+  h->data = data;
+  h->is_f32 = is_f32;
+
+  const int64_t span = n_rows + n_cols - 1;
+  const unsigned nt = dia_nthreads();
+  std::vector<std::vector<int64_t>> cnt_loc(nt);
+  std::vector<std::thread> threads;
+  for (unsigned t = 0; t < nt; ++t) {
+    threads.emplace_back([&, t] {
+      auto &cnt = cnt_loc[t];
+      cnt.assign((size_t)span, 0);
+      int64_t r0 = (int64_t)((n_rows * (int64_t)t) / nt);
+      int64_t r1 = (int64_t)((n_rows * (int64_t)(t + 1)) / nt);
+      for (int64_t r = r0; r < r1; ++r)
+        for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p)
+          ++cnt[(size_t)(indices[p] - r + n_rows - 1)];
+    });
+  }
+  for (auto &th : threads) th.join();
+  std::vector<int64_t> cnt((size_t)span, 0);
+  for (unsigned t = 0; t < nt; ++t)
+    for (int64_t i = 0; i < span; ++i) cnt[(size_t)i] += cnt_loc[t][(size_t)i];
+
+  // selection: count >= min_count; cap at max_diags keeping the largest
+  // counts (stable in offset order) — mirrors device_matrix.from_csr
+  std::vector<int64_t> good;
+  for (int64_t i = 0; i < span; ++i)
+    if (cnt[(size_t)i] >= min_count) good.push_back(i);
+  if ((int64_t)good.size() > max_diags) {
+    std::stable_sort(good.begin(), good.end(), [&](int64_t a, int64_t b) {
+      return cnt[(size_t)a] > cnt[(size_t)b];
+    });
+    good.resize((size_t)max_diags);
+    std::sort(good.begin(), good.end());
+  }
+  h->lut.assign((size_t)span, -1);
+  int64_t covered = 0;
+  for (size_t d = 0; d < good.size(); ++d) {
+    h->lut[(size_t)good[d]] = (int32_t)d;
+    covered += cnt[(size_t)good[d]];
+  }
+  h->n_rest = h->nnz - covered;
+  h->good.resize(good.size());
+  for (size_t d = 0; d < good.size(); ++d)
+    h->good[d] = good[d] - (n_rows - 1);   // store as true offsets
+  return h;
+}
+
+void hdrv_dia_split_sizes(const void *hv, int64_t *n_dia, int64_t *n_rest) {
+  auto *h = (const DiaSplitState *)hv;
+  *n_dia = (int64_t)h->good.size();
+  *n_rest = h->n_rest;
+}
+
+void hdrv_dia_split_fill(void *hv, int64_t *offsets, double *dia_data,
+                         int64_t *r_rows, int64_t *r_cols, void *r_vals) {
+  auto *h = (DiaSplitState *)hv;
+  const int64_t n_rows = h->n_rows;
+  const int64_t D = (int64_t)h->good.size();
+  for (int64_t d = 0; d < D; ++d) offsets[d] = h->good[(size_t)d];
+  if (D) std::memset(dia_data, 0, sizeof(double) * (size_t)(D * n_rows));
+
+  const unsigned nt = dia_nthreads();
+  // pass 1: per-block rest counts -> exact output offsets
+  std::vector<int64_t> rest_at(nt + 1, 0);
+  {
+    std::vector<std::thread> threads;
+    std::vector<int64_t> loc(nt, 0);
+    for (unsigned t = 0; t < nt; ++t) {
+      threads.emplace_back([&, t] {
+        int64_t r0 = (int64_t)((n_rows * (int64_t)t) / nt);
+        int64_t r1 = (int64_t)((n_rows * (int64_t)(t + 1)) / nt);
+        int64_t c = 0;
+        for (int64_t r = r0; r < r1; ++r)
+          for (int64_t p = h->indptr[r]; p < h->indptr[r + 1]; ++p)
+            if (h->lut[(size_t)(h->indices[p] - r + n_rows - 1)] < 0) ++c;
+        loc[t] = c;
+      });
+    }
+    for (auto &th : threads) th.join();
+    for (unsigned t = 0; t < nt; ++t) rest_at[t + 1] = rest_at[t] + loc[t];
+  }
+  // pass 2: fill dia rows + rest COO (threaded; disjoint outputs)
+  {
+    std::vector<std::thread> threads;
+    for (unsigned t = 0; t < nt; ++t) {
+      threads.emplace_back([&, t] {
+        int64_t r0 = (int64_t)((n_rows * (int64_t)t) / nt);
+        int64_t r1 = (int64_t)((n_rows * (int64_t)(t + 1)) / nt);
+        int64_t w = rest_at[t];
+        const float *df = (const float *)h->data;
+        const double *dd = (const double *)h->data;
+        float *rvf = (float *)r_vals;
+        double *rvd = (double *)r_vals;
+        for (int64_t r = r0; r < r1; ++r) {
+          for (int64_t p = h->indptr[r]; p < h->indptr[r + 1]; ++p) {
+            const int64_t c = h->indices[p];
+            const double v = h->is_f32 ? (double)df[p] : dd[p];
+            const int32_t d = h->lut[(size_t)(c - r + n_rows - 1)];
+            if (d >= 0) {
+              dia_data[(size_t)d * (size_t)n_rows + (size_t)r] = v;
+            } else {
+              r_rows[w] = r;
+              r_cols[w] = c;
+              if (h->is_f32) rvf[w] = (float)v; else rvd[w] = v;
+              ++w;
+            }
+          }
+        }
+      });
+    }
+    for (auto &th : threads) th.join();
+  }
+  delete h;
+}
+
+}  // extern "C"
