@@ -31,10 +31,17 @@ from .ams import build_pi
 
 def _ads_apply(state, r):
     from .amg.cycle import amg_apply
+    from .ams import _ams_apply, AMSState
 
     A, d_inv, C, CT, Pi, PiT, bc_state, bpi_state = state
     z = d_inv * r
-    z = z + C.matvec(amg_apply(bc_state, CT.matvec(r)))
+    if isinstance(bc_state, AMSState):
+        # nested AMS on the curl (edge) space — hypre ADS's own
+        # structure (ref: ads.h nested AMS option group); curl∘grad = 0
+        # makes its gradient part degenerate (beta_is_zero)
+        z = z + C.matvec(_ams_apply(bc_state, CT.matvec(r)))
+    else:
+        z = z + C.matvec(amg_apply(bc_state, CT.matvec(r)))
     z = z + Pi.matvec(amg_apply(bpi_state, PiT.matvec(r)))
     z = z + d_inv * (r - A.matvec(z))
     return z
@@ -75,7 +82,27 @@ class ADSPrecon(Preconditioner):
 
         amg_args = self.args.get("amg") or AMG_SCHEMA.defaults()
         dof_func_pi = (np.arange(B_Pi.shape[0]) % dim).astype(np.int64)
-        bc_state = setup_hierarchy(B_C, amg_args, dtype=dtype)
+        # nested AMS on the curl space (edge elements): beta_is_zero —
+        # curl∘grad = 0 means the scalar-potential space is degenerate,
+        # so the nested solve is smoother + Π_edge-space AMG (the hypre
+        # ADS composition, ref: ads.h AMS option group)
+        from .ams import AMSState
+
+        B_Pi_edge = sp.csr_matrix(Pi_edge.T @ B_C @ Pi_edge)
+        B_Pi_edge = B_Pi_edge + 1e-12 * sp.identity(B_Pi_edge.shape[0])
+        dof_func_e = (np.arange(B_Pi_edge.shape[0]) % dim).astype(np.int64)
+        l1c = np.asarray(np.abs(B_C).sum(axis=1)).ravel()
+        bc_state = AMSState(
+            EllMatrix.from_csr(B_C, dtype=dtype),
+            jnp.asarray(np.where(l1c != 0, 1.0 / l1c, 1.0), dtype=dtype),
+            None, None,
+            EllMatrix.from_csr(Pi_edge, dtype=dtype),
+            EllMatrix.from_csr(sp.csr_matrix(Pi_edge.T), dtype=dtype),
+            None,
+            setup_hierarchy(B_Pi_edge, amg_args, dtype=dtype,
+                            dof_func=dof_func_e),
+            cycle_type=1,
+        )
         bpi_state = setup_hierarchy(B_Pi, amg_args, dtype=dtype,
                                     dof_func=dof_func_pi)
 

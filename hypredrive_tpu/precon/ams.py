@@ -34,42 +34,99 @@ def build_pi(G: sp.csr_matrix, coords: np.ndarray) -> sp.csr_matrix:
 
     For edge e with endpoints (i, j) (signs from G): tangent
     t_e = x_j − x_i;  Π[e, dim·v + d] = t_e[d] / 2 for v ∈ {i, j}.
+
+    Fully vectorized over the edge list (general FEM meshes hand G with
+    millions of edges — the per-edge Python loop of the first version
+    was the "model-problem-grade plumbing" limitation).  Rows without
+    exactly one +1/−1 endpoint pair (boundary-eliminated edges) stay
+    zero, as before.
     """
     G = sp.csr_matrix(G)
+    G.sort_indices()
     n_edges, n_nodes = G.shape
     dim = coords.shape[1]
-    rows, cols, vals = [], [], []
-    indptr, indices, data = G.indptr, G.indices, G.data
-    for e in range(n_edges):
-        lo, hi = indptr[e], indptr[e + 1]
-        nodes = indices[lo:hi]
-        signs = data[lo:hi]
-        if len(nodes) != 2:
-            continue  # boundary-eliminated edge
-        head = nodes[np.argmax(signs)]
-        tail = nodes[np.argmin(signs)]
-        t = coords[head] - coords[tail]
-        for v in nodes:
-            for d in range(dim):
-                rows.append(e)
-                cols.append(dim * v + d)
-                vals.append(t[d] / 2.0)
-    Pi = sp.csr_matrix((vals, (rows, cols)),
-                       shape=(n_edges, dim * n_nodes))
+    counts = np.diff(G.indptr)
+    rows_e = np.repeat(np.arange(n_edges), counts)
+    nodes = G.indices.astype(np.int64)
+    signs = G.data
+
+    # per-edge tangent t_e = Σ_v sign(e,v) · x_v — for interior edges
+    # (one +1, one −1) this is x_head − x_tail
+    t = np.zeros((n_edges, dim))
+    np.add.at(t, rows_e, signs[:, None] * coords[nodes])
+    t[counts != 2] = 0.0                   # eliminated edges: no entry
+
+    # Π entries: one (edge, dim·node + d) entry of t_e[d]/2 per
+    # (G entry, component)
+    pr = np.repeat(rows_e, dim)
+    pc = (nodes[:, None] * dim + np.arange(dim)[None, :]).reshape(-1)
+    pv = (t[rows_e] / 2.0).reshape(-1)
+    Pi = sp.csr_matrix((pv, (pr, pc)), shape=(n_edges, dim * n_nodes))
+    Pi.eliminate_zeros()
     Pi.sort_indices()
     return Pi
+
+
+import jax
+
+
+@jax.tree_util.register_pytree_node_class
+class AMSState:
+    """Pytree for the AMS apply; ``cycle_type`` is static aux so the
+    jitted apply specializes on the cycle shape (ref: ams.h cycle_type —
+    1 = additive, ≥2 = multiplicative)."""
+
+    def __init__(self, A, d_inv, G, GT, Pi, PiT, bg_state, bpi_state,
+                 cycle_type=1):
+        (self.A, self.d_inv, self.G, self.GT, self.Pi, self.PiT,
+         self.bg_state, self.bpi_state) = (A, d_inv, G, GT, Pi, PiT,
+                                           bg_state, bpi_state)
+        self.cycle_type = int(cycle_type)
+
+    def tree_flatten(self):
+        return ((self.A, self.d_inv, self.G, self.GT, self.Pi, self.PiT,
+                 self.bg_state, self.bpi_state), (self.cycle_type,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch, cycle_type=aux[0])
 
 
 def _ams_apply(state, r):
     from .amg.cycle import amg_apply
 
-    A, d_inv, G, GT, Pi, PiT, bg_state, bpi_state, sweeps = state
-    # additive corrections (AMS cycle 1)
+    if isinstance(state, tuple):      # legacy tuple state
+        A, d_inv, G, GT, Pi, PiT, bg_state, bpi_state = state[:8]
+        cycle = 1
+    else:
+        A, d_inv, G, GT, Pi, PiT = (state.A, state.d_inv, state.G,
+                                    state.GT, state.Pi, state.PiT)
+        bg_state, bpi_state = state.bg_state, state.bpi_state
+        cycle = state.cycle_type
+    # bg_state None = hypre's beta_is_zero mode (SetBetaPoissonMatrix
+    # NULL, ref ams.h): the scalar-potential correction is skipped —
+    # also how the nested AMS inside ADS works, where curl∘grad = 0
+    # makes the gradient space degenerate
+    if cycle <= 1:
+        # additive corrections (AMS cycle 1: smoother ∥ G-space ∥ Π-space)
+        z = d_inv * r
+        if bg_state is not None:
+            z = z + G.matvec(amg_apply(bg_state, GT.matvec(r)))
+        z = z + Pi.matvec(amg_apply(bpi_state, PiT.matvec(r)))
+        # one smoothing sweep to tie the spaces together
+        z = z + d_inv * (r - A.matvec(z))
+        return z
+    # multiplicative cycle (ref ams.h cycle_type 2+: relax → Π-space →
+    # G-space corrections, each against the UPDATED residual, then a
+    # closing relaxation — the Hiptmair-Xu V-shape)
     z = d_inv * r
-    z = z + G.matvec(amg_apply(bg_state, GT.matvec(r)))
-    z = z + Pi.matvec(amg_apply(bpi_state, PiT.matvec(r)))
-    # one smoothing sweep to tie the spaces together
-    z = z + d_inv * (r - A.matvec(z))
+    res = r - A.matvec(z)
+    z = z + Pi.matvec(amg_apply(bpi_state, PiT.matvec(res)))
+    if bg_state is not None:
+        res = r - A.matvec(z)
+        z = z + G.matvec(amg_apply(bg_state, GT.matvec(res)))
+    res = r - A.matvec(z)
+    z = z + d_inv * res
     return z
 
 
@@ -116,7 +173,7 @@ class AMSPrecon(Preconditioner):
 
         l1 = np.asarray(np.abs(A_host).sum(axis=1)).ravel()
         d_inv = jnp.asarray(np.where(l1 != 0, 1.0 / l1, 1.0), dtype=dtype)
-        self.state = (
+        self.state = AMSState(
             EllMatrix.from_csr(A_host, dtype=dtype),
             d_inv,
             EllMatrix.from_csr(G, dtype=dtype),
@@ -124,6 +181,6 @@ class AMSPrecon(Preconditioner):
             EllMatrix.from_csr(Pi, dtype=dtype),
             EllMatrix.from_csr(sp.csr_matrix(Pi.T), dtype=dtype),
             bg_state, bpi_state,
-            jnp.int32(int(self.args.get("relax_times", 1))),
+            cycle_type=int(self.args.get("cycle_type", 1)),
         )
         self.is_setup = True
