@@ -252,7 +252,69 @@ class Stats:
                 f"{rec['path']:>8} {rec['name']:<16} {rec['time'] * scale:>12.3f}"
                 f" {hi - lo:>8}"
             )
+        for name in dict.fromkeys(r["name"] for r in self._level_records):
+            lines.append(self.level_aggregate_table(name))
         return "\n".join(lines) + "\n"
+
+    def level_aggregate(self, name: str) -> Optional[dict]:
+        """Aggregate linear-solver stats over every frame of a level
+        name (ref: StatsLevelPrint's Aggregate Summary,
+        src/internal/stats.c:1693-1768): totals and per-solve /
+        per-frame averages of iterations and setup/solve times."""
+        frames = [r for r in self._level_records if r["name"] == name]
+        if not frames:
+            return None
+        total_solves = 0
+        total_iters = 0
+        total_setup = 0.0
+        total_solve = 0.0
+        for r in frames:
+            lo, hi = r["entries"]
+            for e in self.entries[lo:hi]:
+                total_solves += 1
+                total_iters += e.iters
+                total_setup += e.setup_time
+                total_solve += e.solve_time
+        n_frames = len(frames)
+        return {
+            "frames": n_frames,
+            "total_solves": total_solves,
+            "total_iters": total_iters,
+            "total_setup": total_setup,
+            "total_solve": total_solve,
+            "avg_iters_per_solve": (total_iters / total_solves
+                                    if total_solves else 0.0),
+            "avg_iters_per_frame": total_iters / n_frames,
+            "avg_setup_per_frame": total_setup / n_frames,
+            "avg_solve_per_frame": total_solve / n_frames,
+        }
+
+    def level_aggregate_table(self, name: str) -> str:
+        """Reference-format aggregate block for one level name
+        (ref: stats.c:1749-1768 'Aggregate Summary')."""
+        a = self.level_aggregate(name)
+        if a is None:
+            return ""
+        s = a["total_setup"]
+        v = a["total_solve"]
+        ff = a["frames"]
+        out = [
+            "",
+            f"Aggregate Summary ({name}):",
+            "-" * 62,
+            f"Total number of {name} frames:         {ff}",
+            f"Total number of linear iterations:     {a['total_iters']}",
+            f"Avg. LS iterations:                    "
+            f"{a['avg_iters_per_solve']:.2f}",
+            f"Total LS times: (setup, solve, total): "
+            f"{s:.4f}, {v:.4f}, {s + v:.4f}",
+            f"Avg. LS iterations per {name}:         "
+            f"{a['avg_iters_per_frame']:.2f}",
+            f"Avg. LS times per {name}: (s, s, t):   "
+            f"{a['avg_setup_per_frame']:.4f}, {a['avg_solve_per_frame']:.4f}"
+            f", {a['avg_setup_per_frame'] + a['avg_solve_per_frame']:.4f}",
+        ]
+        return "\n".join(out)
 
     # programmatic level getters (ref: HYPREDRV_StatsLevelGet*/Print,
     # include/HYPREDRV.h:2223-2262)

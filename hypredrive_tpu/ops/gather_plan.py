@@ -46,7 +46,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 TILE_ROWS = 1024          # output rows per tile: 8 sublanes x 128 lanes
-GROUP_MAX = 16            # max passes fused into one kernel grid step
+GROUP_MAX = 32            # max passes fused into one kernel grid step
 
 
 @dataclass
@@ -221,13 +221,14 @@ def _group_plan(pt, pf, q0, slot, elane, evals, n_row_tiles):
     every tile's pass count to a multiple of it.
 
     Fusing G passes into one grid step amortizes the per-step gather cost
-    ~G-fold (measured on v5e: 136 → 59 ns/pass at G=8; G=16 cuts the
-    64³ AMG V-cycle a further ~20%); padding wastes at most
-    (G−1)/avg_passes_per_tile, so G is capped at avg/4."""
+    ~G-fold (measured on v5e: 136 → 59 ns/pass at G=8; G=16 cut the
+    64³ AMG V-cycle a further ~20% and G=32 ~6% more); padding wastes
+    at most (G−1)/avg_passes_per_tile, so G is capped at avg/3
+    (measured pad inflation ≤ 6% per level)."""
     NP = len(pt)
     avg = NP / max(1, n_row_tiles)
     G = GROUP_MAX
-    while G > 1 and G * 4 > avg:
+    while G > 1 and G * 3 > avg:
         G //= 2
     if G <= 1:
         return (pt, pf, q0, slot, elane, evals), 1

@@ -465,8 +465,8 @@ static bool fast_plan_begin(hdrv_plan_handle *h, PlanState *st,
     int64_t np_raw = 0;
     for (int64_t t = 0; t < T; ++t) np_raw += npass[(size_t)t];
     double avg = (double)np_raw / (double)(T > 0 ? T : 1);
-    int64_t G = 16;
-    while (G > 1 && (double)(G * 4) > avg) G /= 2;
+    int64_t G = 32;
+    while (G > 1 && (double)(G * 3) > avg) G /= 2;
     h->group = G;
     if (G > 1)
       for (int64_t t = 0; t < T; ++t)
@@ -602,8 +602,8 @@ hdrv_plan_handle *hdrv_plan_begin(const int64_t *rows, const int64_t *cols,
     int64_t np_raw = 0;
     for (int64_t t = 0; t < n_row_tiles; ++t) np_raw += npass[(size_t)t];
     double avg = (double)np_raw / (double)(n_row_tiles > 0 ? n_row_tiles : 1);
-    int64_t G = 16;
-    while (G > 1 && (double)(G * 4) > avg) G /= 2;
+    int64_t G = 32;
+    while (G > 1 && (double)(G * 3) > avg) G /= 2;
     h->group = G;
     if (G > 1)
       for (int64_t t = 0; t < n_row_tiles; ++t)

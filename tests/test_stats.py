@@ -125,3 +125,29 @@ def test_level_getters():
     assert s.level_time("timestep", 1) > 0
     assert s.level_entry_range("timestep", 2) == (1, 2)
     assert s.level_records("nope") == []
+
+
+def test_level_aggregate_summary():
+    """Aggregate Summary per level name (ref: stats.c StatsLevelPrint
+    totals + per-solve / per-frame averages)."""
+    from hypredrive_tpu.core.stats import Stats
+
+    st = Stats()
+    for ts in range(3):
+        st.annotate_level_begin("timestep", ts)
+        for _ in range(2):
+            st.annotate_begin("matrix"); st.annotate_end("matrix")
+            st.annotate_begin("prec"); st.annotate_end("prec")
+            st.annotate_begin("solve"); st.annotate_end("solve")
+            st.record_solve(iters=4 + ts, rel_res_norm=1e-8,
+                            initial_res_norm=1.0, converged=True)
+        st.annotate_level_end("timestep", ts)
+    agg = st.level_aggregate("timestep")
+    assert agg["frames"] == 3
+    assert agg["total_solves"] == 6
+    assert agg["total_iters"] == 2 * (4 + 5 + 6)
+    assert abs(agg["avg_iters_per_solve"] - 5.0) < 1e-12
+    assert abs(agg["avg_iters_per_frame"] - 10.0) < 1e-12
+    txt = st.level_table()
+    assert "Aggregate Summary (timestep):" in txt
+    assert "Total number of linear iterations:     30" in txt
