@@ -301,23 +301,45 @@ class EllMatrix:
 
     # -- kernels ----------------------------------------------------------
 
+    def _dia_pallas(self):
+        """Static DiaSpMV layout for the Pallas DIA kernel (None when
+        the backend/dtype/size rule it out)."""
+        from .pallas_spmv import _backend_supports_pallas
+
+        if not _backend_supports_pallas() \
+                or jnp.dtype(self.dtype).itemsize != 4:
+            return None
+        from .pallas_dia import DiaSpMV
+
+        ds = DiaSpMV(self.dia_offsets, self.shape[0], self.shape[1],
+                     self.dtype)
+        return ds if ds.fits else None
+
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         """y = A @ x (jit-safe)."""
         n_rows, n_cols = self.shape
         y = None
         if self.dia_data is not None:
-            # pad x so every shifted window is a static in-bounds slice
-            lo = max(0, -min(self.dia_offsets))
-            hi = max(0, max(self.dia_offsets) + n_rows - n_cols)
-            xp = x
-            if lo or hi:
-                xp = jnp.concatenate([
-                    jnp.zeros(lo, x.dtype), x, jnp.zeros(hi, x.dtype)])
-            y = jnp.zeros(n_rows, x.dtype)
-            for i, off in enumerate(self.dia_offsets):
-                start = lo + off
-                y = y + self.dia_data[i] * jax.lax.dynamic_slice(
-                    xp, (start,), (n_rows,))
+            ds = self._dia_pallas()
+            if ds is not None:
+                # VMEM-resident Pallas DIA kernel: (D+2)·4 B/row HBM
+                # traffic vs the XLA path's per-diagonal materialized
+                # shifts (measured ~7x on v5e fine grids)
+                y = ds(ds.pad_dia(self.dia_data), x)
+            else:
+                # pad x so every shifted window is a static in-bounds
+                # slice
+                lo = max(0, -min(self.dia_offsets))
+                hi = max(0, max(self.dia_offsets) + n_rows - n_cols)
+                xp = x
+                if lo or hi:
+                    xp = jnp.concatenate([
+                        jnp.zeros(lo, x.dtype), x, jnp.zeros(hi, x.dtype)])
+                y = jnp.zeros(n_rows, x.dtype)
+                for i, off in enumerate(self.dia_offsets):
+                    start = lo + off
+                    y = y + self.dia_data[i] * jax.lax.dynamic_slice(
+                        xp, (start,), (n_rows,))
         if self.gop is not None:
             gy = self.gop(x)
             y = gy if y is None else y + gy
