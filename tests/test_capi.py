@@ -37,6 +37,12 @@ def test_c_example_lifecycle(tmp_path):
         env.get("LD_LIBRARY_PATH", "")
     env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
+    # the axon TPU plugin registers from sitecustomize whenever
+    # PALLAS_AXON_POOL_IPS is set and IGNORES JAX_PLATFORMS; through a
+    # slow tunnel its init alone can exceed the subprocess budget —
+    # clear it so the embedded interpreter genuinely runs on CPU (the
+    # lifecycle contract under test is backend-independent)
+    env["PALLAS_AXON_POOL_IPS"] = ""
     r = subprocess.run([exe], capture_output=True, text=True, env=env,
                        timeout=600, cwd=REPO)
     assert r.returncode == 0, r.stdout + r.stderr
