@@ -66,10 +66,16 @@ def load_yaml_text(text: str) -> dict:
 
 
 def load_yaml_file(path: str) -> dict:
-    if not os.path.exists(path):
+    if not os.path.isfile(path):
+        # directories and missing files both fail typed (the
+        # file-vs-string heuristic can route odd inputs here)
         raise ConfigError(f"config file not found: {path}", ErrorCode.FILE_NOT_FOUND)
-    with open(path, "r") as f:
-        text = f.read()
+    try:
+        with open(path, "r") as f:
+            text = f.read()
+    except OSError as exc:
+        raise ConfigError(f"cannot read config {path}: {exc}",
+                          ErrorCode.IO) from None
     tree = load_yaml_text(text)
     return expand_includes(tree, base_dir=os.path.dirname(os.path.abspath(path)))
 
@@ -95,20 +101,27 @@ def expand_includes(tree: dict, base_dir: str = ".",
         )
         if path in _seen:
             raise ConfigError(f"include cycle detected at {path}", ErrorCode.YAML)
-        if not os.path.exists(path):
+        if not os.path.isfile(path):
+            # a directory (include: .) or missing file both fail typed
             raise ConfigError(
                 f"included file not found: {path}", ErrorCode.FILE_NOT_FOUND
             )
         _budget[0] -= os.path.getsize(path)
         if _budget[0] < 0:
             raise ConfigError("include expansion exceeds size cap", ErrorCode.YAML)
-        with open(path) as f:
-            try:
-                sub = yaml.load(f.read(), Loader=_UniqueKeyLoader)
-            except yaml.YAMLError as exc:
-                raise ConfigError(
-                    f"YAML parse error in {path}: {exc}", ErrorCode.YAML
-                ) from None
+        try:
+            with open(path) as f:
+                text = f.read()
+        except OSError as exc:
+            raise ConfigError(
+                f"cannot read include {path}: {exc}", ErrorCode.IO
+            ) from None
+        try:
+            sub = yaml.load(text, Loader=_UniqueKeyLoader)
+        except yaml.YAMLError as exc:
+            raise ConfigError(
+                f"YAML parse error in {path}: {exc}", ErrorCode.YAML
+            ) from None
         if isinstance(sub, dict):
             sub = expand_includes(sub, os.path.dirname(path), _seen + (path,), _budget)
         return sub
