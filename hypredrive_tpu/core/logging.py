@@ -59,6 +59,14 @@ class Logger:
             prefix += f"[ls:{ls_id}]"
         print(f"{prefix} {msg}", file=self.stream, flush=True)
 
+    def warn(self, msg: str, *, obj: str = ""):
+        """Always-visible (level-independent) rank-0 warning — used when a
+        config falls outside a supported subset and behavior degrades."""
+        if self.rank != 0:
+            return
+        prefix = "[warn]" + (f"[{obj}]" if obj else "")
+        print(f"{prefix} {msg}", file=self.stream, flush=True)
+
     def text_block(self, level: int, title: str, text: str):
         """Multi-line dump, mirroring HYPREDRV_LOG_TEXTBLOCK
         (ref: src/internal/logging.h:72-113)."""

@@ -360,8 +360,20 @@ def blosc_decompress(frame: bytes, orig_size: int) -> bytes:
     if blocksize <= 0:
         raise HypredrvError("blosc blocksize invalid", ErrorCode.IO)
     nblocks = -(-nbytes // blocksize)
+    # Every block needs an in-frame bstarts entry plus at least a 4-byte
+    # split header, which bounds nblocks by the actual frame size — a tiny
+    # chunk advertising huge nbytes with blocksize=1 must not drive a
+    # multi-billion-entry loop (hang/OOM from a few bytes of input).
+    table_end = 16 + 4 * nblocks
+    if table_end > len(frame):
+        raise HypredrvError("blosc chunk header mismatch", ErrorCode.IO)
     bstarts = [int.from_bytes(frame[16 + 4 * j:20 + 4 * j], "little")
                for j in range(nblocks)]
+    # Block offsets must point past the bstarts table and into the chunk;
+    # an offset of e.g. 0 would parse header bytes as split data.
+    for bs in bstarts:
+        if bs < table_end or bs >= max(cbytes, table_end + 1):
+            raise HypredrvError("blosc block offset invalid", ErrorCode.IO)
     out = bytearray()
     for j in range(nblocks):
         neblock = min(blocksize, nbytes - j * blocksize)

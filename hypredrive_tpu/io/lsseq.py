@@ -324,10 +324,11 @@ class LSSeqFile:
         if not self.parts:
             raise HypredrvError("lsseq has no part table", ErrorCode.IO)
         nrows = max(int(p[1]) for p in self.parts) + 1
-        if not 0 < nrows <= (1 << 31):
-            raise HypredrvError(
-                f"lsseq advertises implausible row count {nrows}",
-                ErrorCode.IO)
+        # Bound with the same allocation guard the IJ readers use — the
+        # CSR indptr alone is 8*(nrows+1) bytes, so a crafted part table
+        # must not be able to force a multi-GB allocation.
+        from .ij import _check_dims
+        _check_dims(nrows, nrows, "<lsseq>", ErrorCode.IO)
         all_r, all_c, all_v = [], [], []
         for p in range(self.num_parts):
             (pid, _fl, nnz, v_off, v_size, *_rest) = self.sys_parts[ls_id][p]

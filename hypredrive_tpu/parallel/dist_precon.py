@@ -83,15 +83,36 @@ def setup_mgr_dist(A_parts: Sequence[sp.csr_matrix], args,
     n_levels = int(args.get("num_levels", -1))
     if n_levels > 0:
         keys = keys[:n_levels]
+    # Distributed-MGR subset guard (mirrors supports_dist_setup): the
+    # masked-Jacobi F-relax covers the diagonal families; anything else
+    # must not silently solve differently on a mesh vs host.
+    _DIST_F_RELAX = {"none", "single", "jacobi", "l1-jacobi", "v(1,0)"}
     level_cfgs = []
     for key in keys:
         errors: List[str] = []
         parsed = MGR_LEVEL_SCHEMA.parse(raw_levels.get(key) or {},
                                         f"mgr:level:{key}", errors)
+        f_rlx = parsed.f_relaxation
+        g_rlx = parsed.g_relaxation
+        f_name = f_rlx if isinstance(f_rlx, str) else "<nested>"
+        g_name = g_rlx if isinstance(g_rlx, str) else "<nested>"
+        unsupported = []
+        if f_name not in _DIST_F_RELAX:
+            unsupported.append(f"f_relaxation: {f_name}")
+        if g_name != "none":
+            unsupported.append(f"g_relaxation: {g_name}")
+        if unsupported:
+            from ..core.logging import logger
+            logger.warn(
+                f"mgr:level:{key} {', '.join(unsupported)} outside the "
+                "distributed-MGR subset; falling back to masked-Jacobi "
+                "F-relax / no G-relax on the mesh (host path honors the "
+                "full config)", obj="mgr-dist")
         level_cfgs.append({
             "f_dofs": parsed.f_dofs,
             "prolongation_type": int(parsed.prolongation_type),
             "restriction_type": int(parsed.restriction_type),
+            "f_sweeps": max(1, int(parsed.num_sweeps)),
         })
 
     levels = []

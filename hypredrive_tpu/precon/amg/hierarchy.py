@@ -314,10 +314,11 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
                 and interp_vectors is None:
             return setup_hierarchy_dist(A_host, amg_args, mesh,
                                         dtype=dtype)
-        from ...core.logging import log
+        from ...core.logging import logger
 
-        log(1, "AMG config outside the distributed-setup subset; "
-               "assembling the global matrix for host-global setup")
+        logger.warn("AMG config outside the distributed-setup subset; "
+                    "assembling the global matrix for host-global setup",
+                    obj="amg-dist")
         A_host = sp.csr_matrix(sp.vstack(A_host))
     elif mesh is not None:
         from ...parallel.dist_setup import (setup_hierarchy_dist,
