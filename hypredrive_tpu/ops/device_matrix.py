@@ -75,11 +75,16 @@ class EllMatrix:
     dia_offsets: Tuple[int, ...] = ()
     gop: Optional[object] = None  # ops.pallas_spmv.GatherSpMV for the
                                   # non-diagonal part (TPU fast path)
+    # kernel-layout copy of dia_data ((D, S, 128), see pallas_dia) built
+    # once at construction: the (D, n) -> (D, S, 128) reshape is a real
+    # tile relayout on TPU, and XLA does not hoist it out of solver
+    # loops — computing it per matvec cost ~25% of the SpMV (round 5)
+    dia3: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         gch = self.gop.tree_children() if self.gop is not None else ()
         children = (self.cols, self.vals, self.tail_rows, self.tail_cols,
-                    self.tail_vals, self.dia_data) + tuple(gch)
+                    self.tail_vals, self.dia_data, self.dia3) + tuple(gch)
         # nnz is pure bookkeeping (stats/summaries) — wrap it so pytree
         # aux equality ignores its value and same-shape hierarchies from
         # a sequence share one jit cache entry
@@ -89,15 +94,16 @@ class EllMatrix:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        cols, vals, tr, tc, tv, dia = children[:6]
+        cols, vals, tr, tc, tv, dia, dia3 = children[:7]
         shape, nnz, dia_offsets, gop = aux
         nnz = int(nnz)    # unwrap _TraceNeutralInt (its __eq__ is aux-only)
         if gop is not None:
             import copy
 
             gop = copy.copy(gop)
-            gop.set_children(children[6:])
-        return cls(cols, vals, tr, tc, tv, shape, nnz, dia, dia_offsets, gop)
+            gop.set_children(children[7:])
+        return cls(cols, vals, tr, tc, tv, shape, nnz, dia, dia_offsets,
+                   gop, dia3)
 
     # -- construction -----------------------------------------------------
 
@@ -223,7 +229,7 @@ class EllMatrix:
                           if dia_data is not None else None),
                 dia_offsets=dia_offsets,
                 gop=gop,
-            )
+            ).with_dia3()
 
         rest_counts = np.bincount(r_rows, minlength=n_rows)
         max_nnz = int(rest_counts.max(initial=0))
@@ -281,7 +287,7 @@ class EllMatrix:
             dia_data=(jnp.asarray(dia_data, dtype=dtype)
                       if dia_data is not None else None),
             dia_offsets=dia_offsets,
-        )
+        ).with_dia3()
 
     @property
     def dtype(self):
@@ -304,6 +310,8 @@ class EllMatrix:
     def _dia_pallas(self):
         """Static DiaSpMV layout for the Pallas DIA kernel (None when
         the backend/dtype/size rule it out)."""
+        if self.dia_data is None or not self.dia_offsets:
+            return None
         from .pallas_spmv import _backend_supports_pallas
 
         if not _backend_supports_pallas() \
@@ -315,6 +323,18 @@ class EllMatrix:
                      self.dtype)
         return ds if ds.fits else None
 
+    def with_dia3(self) -> "EllMatrix":
+        """Populate the kernel-layout diagonal copy (no-op when the
+        Pallas DIA path does not apply or it already exists)."""
+        if self.dia3 is not None:
+            return self
+        ds = self._dia_pallas()
+        if ds is None:
+            return self
+        import dataclasses
+
+        return dataclasses.replace(self, dia3=ds.pad_dia(self.dia_data))
+
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         """y = A @ x (jit-safe)."""
         n_rows, n_cols = self.shape
@@ -325,7 +345,9 @@ class EllMatrix:
                 # VMEM-resident Pallas DIA kernel: (D+2)·4 B/row HBM
                 # traffic vs the XLA path's per-diagonal materialized
                 # shifts (measured ~7x on v5e fine grids)
-                y = ds(ds.pad_dia(self.dia_data), x)
+                dia3 = self.dia3 if self.dia3 is not None \
+                    else ds.pad_dia(self.dia_data)
+                y = ds(dia3, x)
             else:
                 # pad x so every shifted window is a static in-bounds
                 # slice
@@ -425,7 +447,7 @@ class EllMatrix:
         gop = self.gop.scaled(sl, sr) if self.gop is not None else None
         return EllMatrix(self.cols, vals, self.tail_rows, self.tail_cols,
                          tail_vals, self.shape, self.nnz, dia,
-                         self.dia_offsets, gop)
+                         self.dia_offsets, gop).with_dia3()
 
     def to_csr(self) -> sp.csr_matrix:
         """Host round-trip (diagnostics / dumps)."""

@@ -8,15 +8,20 @@ shifted x view and partial sum materializes through HBM.
 
 This kernel runs the whole accumulation in VMEM:
 
-* x is padded to whole (8, 128) sublanes with zero margins sized by the
-  most negative / most positive diagonal offset and kept fully
-  VMEM-resident (one operand);
-* each diagonal offset decomposes statically as off = 128·q + r with
-  0 ≤ r < 128: the shifted window of output tile t is the 8-sublane
-  read at t·8 + q (+1), lane-rotated by the *compile-time* r via two
+* x streams HBM->VMEM once as a whole-array operand; grid step 0 copies
+  it into a VMEM scratch with zero margins sized by the most negative /
+  most positive diagonal offset (VMEM->VMEM, no extra HBM traffic; the
+  scratch persists across the sequential TPU grid);
+* each diagonal offset decomposes statically as off = 128*q + r with
+  0 <= r < 128: the shifted window of output tile i is the B-sublane
+  read at i*B + q (+1), lane-rotated by the *compile-time* r via two
   static lane slices and a concat — no gather, no scalar core;
-* the (D, 8, 128) diagonal blocks stream from HBM once, y streams out
-  once: total traffic ≈ (D + 2)·4 bytes/row, the analytic minimum.
+* the (D, B, 128) diagonal blocks stream from HBM once, y streams out
+  once: total traffic ~ (D + 2)*4 bytes/row, the analytic minimum;
+* B (block sublanes) is sized so the grid has a handful of steps —
+  r04 shipped B=8 (256 grid steps of 28 KB DMAs) and per-step overhead
+  capped the kernel at ~120 GB/s; B=256 measures ~340 GB/s on the same
+  operand (block-size sweep, round 5).
 
 Falls back to the XLA path off-TPU and for f64 (Mosaic has no 64-bit).
 Reference counterpart: hypre's CSR SpMV (hypre_CSRMatrixMatvec) — the
@@ -33,20 +38,34 @@ import jax
 import jax.numpy as jnp
 
 
-def _make_dia_kernel(D, qr, PLO):
-    """qr: static tuple of (q, r) per diagonal; PLO: leading pad
-    sublanes of the x operand."""
-    def _kernel(dia_ref, x_ref, y_ref):
+def _make_dia_kernel(D, qr, PLO, B, L, copy_steps):
+    """qr: static (q, r) per diagonal; PLO: leading margin sublanes of
+    the scratch; B: block sublanes; L: x sublanes (copied to scratch at
+    offset PLO on grid step 0, in ``copy_steps`` chunks)."""
+    def _kernel(dia_ref, x_ref, y_ref, xs_ref):
         from jax.experimental import pallas as pl
 
         i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            # zero the whole scratch (margins included), then lay x in
+            # at offset PLO — all VMEM->VMEM, no HBM traffic
+            xs_ref[...] = jnp.zeros_like(xs_ref)
+            step = -(-L // copy_steps)
+            for c in range(copy_steps):
+                lo = c * step
+                sz = min(step, L - lo)
+                if sz > 0:
+                    xs_ref[pl.ds(PLO + lo, sz), :] = x_ref[pl.ds(lo, sz), :]
+
         acc = None
         for d in range(D):
             q, r = qr[d]
-            base = i * 8 + q + PLO
-            w0 = x_ref[pl.ds(base, 8), :]
+            base = i * B + q + PLO
+            w0 = xs_ref[pl.ds(base, B), :]
             if r:
-                w1 = x_ref[pl.ds(base + 1, 8), :]
+                w1 = xs_ref[pl.ds(base + 1, B), :]
                 sh = jnp.concatenate([w0[:, r:], w1[:, :r]], axis=1)
             else:
                 sh = w0
@@ -56,8 +75,9 @@ def _make_dia_kernel(D, qr, PLO):
     return _kernel
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _dia_matvec_call(qr, PLO, n_tiles, interpret, dia3, x_pad):
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _dia_matvec_call(qr, PLO, n_tiles, B, L, xs_sub, interpret,
+                     dia3, x2):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -66,30 +86,33 @@ def _dia_matvec_call(qr, PLO, n_tiles, interpret, dia3, x_pad):
         num_scalar_prefetch=0,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((D, 8, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((D, B, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),       # x, whole
         ],
-        out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((B, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((xs_sub, 128), dia3.dtype)],
     )
     return pl.pallas_call(
-        _make_dia_kernel(D, qr, PLO),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, 128), dia3.dtype),
+        _make_dia_kernel(D, qr, PLO, B, L, copy_steps=1),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * B, 128), dia3.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(dia3, x_pad)
+    )(dia3, x2)
 
 
 class DiaSpMV:
     """Precomputed static layout for one (offsets, shape) DIA operand.
 
-    VMEM budget: x_pad + one (D, 8, 128) block + y tile; x_pad is
-    (n_cols + margins) floats — usable to ~3M columns in f32.  Larger
-    operands fall back to the XLA path (``fits`` False).
+    VMEM budget: x operand + x scratch + double-buffered (D, B, 128)
+    blocks + y tiles; x is (n_cols + margins) floats twice — usable to
+    ~1.5M columns in f32.  Larger operands fall back to the XLA path
+    (``fits`` False).
     """
 
-    VMEM_X_LIMIT = 3 << 20        # x elements kept fully VMEM-resident
+    VMEM_X_LIMIT = 3 << 20        # x elements (operand + scratch) budget
+    MAX_BLOCK_SUBLANES = 256      # ~0.9 MB/diag-block at D=7 f32
 
     def __init__(self, dia_offsets, n_rows: int, n_cols: int, dtype,
                  interpret: bool = False):
@@ -98,36 +121,52 @@ class DiaSpMV:
         self.n_cols = n_cols
         self.dtype = jnp.dtype(dtype)
         self.interpret = interpret
-        self.n_tiles = -(-n_rows // 1024)
         # off = 128 q + r, 0 <= r < 128 (python floor-div handles
         # negative offsets)
         self.qr = tuple((int(o) // 128, int(o) % 128)
                         for o in self.offsets)
         min_q = min(q for q, _ in self.qr)
-        self.PLO = max(0, -min_q)
-        # trailing margin: highest sublane read is
-        # (n_tiles-1)*8+7 + max_q + PLO + 1, reading 8 sublanes
         max_q = max(q for q, _ in self.qr)
-        need = (self.n_tiles - 1) * 8 + 7 + max_q + self.PLO + 2 + 8
-        self.x_sublanes = max(need, -(-n_cols // 128) + self.PLO + 1)
-        self.fits = (self.x_sublanes * 128 <= self.VMEM_X_LIMIT
+        self.PLO = max(0, -min_q)
+        # block sublanes: large enough that per-grid-step overhead
+        # amortizes, small enough to double-buffer in VMEM and keep a
+        # few steps of pipelining
+        row_sub = -(-n_rows // 128)
+        B = self.MAX_BLOCK_SUBLANES
+        while B > 8 and B >= 2 * row_sub:
+            B //= 2
+        self.B = B
+        self.n_tiles = -(-row_sub // B)
+        self.out_sub = self.n_tiles * B
+        # x operand sublanes (exact cols, padded to whole sublanes)
+        self.L = -(-n_cols // 128)
+        # scratch: margins + every read in range.  Reads reach
+        # (n_tiles-1)*B + (B-1) + max_q + PLO + 1 inclusive.
+        need = self.out_sub + max_q + self.PLO + 2
+        self.xs_sub = max(need, self.L + self.PLO + 1)
+        self.fits = ((self.xs_sub + self.L) * 128 <= self.VMEM_X_LIMIT
                      and self.dtype.itemsize == 4)
 
     def pad_dia(self, dia_data) -> jnp.ndarray:
-        """(D, n_rows) host/device values → (D, n_tiles*8, 128)."""
+        """(D, n_rows) host/device values → (D, out_sub, 128)."""
         D = len(self.offsets)
-        pad = self.n_tiles * 1024 - self.n_rows
+        pad = self.out_sub * 128 - self.n_rows
         d = jnp.asarray(dia_data, self.dtype)
         if pad:
             d = jnp.concatenate(
                 [d, jnp.zeros((D, pad), self.dtype)], axis=1)
-        return d.reshape(D, self.n_tiles * 8, 128)
+        return d.reshape(D, self.out_sub, 128)
 
     def __call__(self, dia3: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        xp = jnp.zeros(self.x_sublanes * 128, self.dtype)
-        xp = jax.lax.dynamic_update_slice(
-            xp, x.astype(self.dtype), (self.PLO * 128,))
-        y = _dia_matvec_call(self.qr, self.PLO, self.n_tiles,
-                             self.interpret, dia3,
-                             xp.reshape(self.x_sublanes, 128))
-        return y.reshape(-1)[:self.n_rows].astype(x.dtype)
+        xlen = self.L * 128
+        xv = x.astype(self.dtype)
+        if xlen != self.n_cols:
+            xv = jnp.concatenate(
+                [xv, jnp.zeros(xlen - self.n_cols, self.dtype)])
+        y = _dia_matvec_call(self.qr, self.PLO, self.n_tiles, self.B,
+                             self.L, self.xs_sub, self.interpret,
+                             dia3, xv.reshape(self.L, 128))
+        y = y.reshape(-1)
+        if self.out_sub * 128 != self.n_rows:
+            y = y[:self.n_rows]
+        return y.astype(x.dtype)
