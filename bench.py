@@ -10,6 +10,18 @@ vs_baseline  = reference iteration parity on the ex1-class system:
                ≥ 1.0 means we match or beat hypre's convergence.
 Extra keys give the V-cycle throughput and solve wall time for the
 record; they don't replace the contract fields.
+
+Timing methodology (round 5): the remote-TPU tunnel costs a ~26 ms
+fixed round-trip per dispatch+readback, which at 2000 reps added a
+phantom ~13 us/rep to every per-op number in rounds 1-4 (r04's
+"22.8 Gnnz/s" SpMV was really ~27 true device Gnnz/s measured against
+a triad that was really ~2.1 TB/s, not 602 GB/s).  All per-op
+throughputs below are therefore SLOPE-timed: run the on-device
+fori_loop at two rep counts and divide the wall-time difference by the
+rep difference — the tunnel fixed cost cancels exactly.  Wall-clock
+numbers that a user actually experiences (setup, full solve) stay raw
+and include the tunnel cost; the measured round-trip is reported as
+`tunnel_roundtrip_ms` for the record.
 """
 
 import json
@@ -20,6 +32,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+
+def slope_time(make_fn, args, r1, r2, trials=5):
+    """Median of ((t(r2) - t(r1)) / (r2 - r1)) — per-rep device time with
+    the dispatch/readback fixed cost cancelled."""
+    f1, f2 = make_fn(r1), make_fn(r2)
+    np.asarray(f1(*args))
+    np.asarray(f2(*args))
+    ss = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(f1(*args))
+        d1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(f2(*args))
+        d2 = time.perf_counter() - t0
+        ss.append((d2 - d1) / (r2 - r1))
+    ss.sort()
+    return ss[len(ss) // 2]
 
 
 def main():
@@ -43,100 +74,106 @@ def main():
 
     dtype = jnp.float32
     nx = int(os.environ.get("HYPREDRV_BENCH_NX", "64"))
-    # dispatch+readback through the axon tunnel costs ~25 ms; reps must
-    # be large enough that on-device time dominates (SpMV ~80 us/rep,
-    # V-cycle ~10 ms/rep)
-    reps = int(os.environ.get("HYPREDRV_BENCH_REPS", "2000"))
-    vreps = int(os.environ.get("HYPREDRV_BENCH_VREPS", "200"))
 
     A_host = laplacian_3d_7pt(nx, dtype=np.float32)
     n = A_host.shape[0]
     nnz = A_host.nnz
 
-    # backend/tunnel bring-up is process-scoped one-time cost, not AMG
+    # ---- backend bring-up, instrumented ----------------------------------
+    # r04 recorded backend_init_s=865 with no breakdown; each sub-phase is
+    # now timed so a cold-compile-cache run is distinguishable from a slow
+    # tunnel attach.  Bring-up is a process-scoped one-time cost, not AMG
     # setup (the reference's HYPRE_Initialize is likewise outside its
-    # setup timers); report it separately.  The warmup setup on a tiny
-    # system mirrors the reference's `general.warmup: on` semantics
-    # (ref: include/internal/args.h:22-39) — it touches the numpy/scipy/
-    # XLA dispatch paths once so the measured setup is the algorithm,
-    # not Python first-touch costs.
-    t_init0 = time.perf_counter()
+    # setup timers).
+    t0 = time.perf_counter()
     jax.devices()
+    attach_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     np.asarray(jax.device_put(np.ones(8, np.float32)) + 1.0)
+    first_transfer_s = time.perf_counter() - t0
+
+    # measured tunnel round-trip: dispatch + tiny readback of an
+    # already-compiled trivial op
+    one = jax.jit(lambda v: v + 1.0)
+    np.asarray(one(jnp.ones(8, dtype)))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        np.asarray(one(jnp.ones(8, dtype)))
+    tunnel_rt_s = (time.perf_counter() - t0) / 5
+
+    # warmup: on semantics (ref: docs/usrman-src/input_structure.rst:35,
+    # help.c:905 "untimed warmup solve before measured solves") — a tiny
+    # full setup touches every numpy/scipy/XLA dispatch path once so the
+    # measured setup is the algorithm, not first-touch/compile costs.
+    t0 = time.perf_counter()
     Aw = laplacian_3d_7pt(8, dtype=np.float32)
     jax.block_until_ready(jax.tree_util.tree_leaves(
         setup_hierarchy(Aw, AMG_SCHEMA.defaults(), dtype=dtype)))
     jax.block_until_ready(
         EllMatrix.from_csr(Aw, dtype=dtype).matvec(
             jnp.ones(Aw.shape[0], dtype)))
-    backend_init_s = time.perf_counter() - t_init0
+    warm_compile_s = time.perf_counter() - t0
+    backend_init_s = attach_s + first_transfer_s + warm_compile_s
 
-    # warmup: on semantics (ref: docs/usrman-src/input_structure.rst:35
-    # "runs a warmup before the timed operation", help.c:905 "untimed
-    # warmup solve before measured solves") — one untimed full setup,
-    # then the measured one; the cold first-pass time is reported too.
-    t_setup0 = time.perf_counter()
+    # ---- AMG setup (cold = first full-size pass incl. jit compiles) ------
+    t0 = time.perf_counter()
     A = EllMatrix.from_csr(A_host, dtype=dtype)
     state = setup_hierarchy(A_host, AMG_SCHEMA.defaults(), dtype=dtype,
                             fine_matrix=A)
     jax.block_until_ready(jax.tree_util.tree_leaves(state))
-    setup_cold_time = time.perf_counter() - t_setup0
-    t_setup0 = time.perf_counter()
+    setup_cold_time = time.perf_counter() - t0
+    t0 = time.perf_counter()
     A = EllMatrix.from_csr(A_host, dtype=dtype)
     state = setup_hierarchy(A_host, AMG_SCHEMA.defaults(), dtype=dtype,
                             fine_matrix=A)
     # block on EVERY leaf: the pipelined per-level transfers must all
     # land before setup counts as done (honest wall time)
     jax.block_until_ready(jax.tree_util.tree_leaves(state))
-    setup_time = time.perf_counter() - t_setup0
+    setup_time = time.perf_counter() - t0
 
     x = jnp.ones(n, dtype=dtype)
     b = jnp.ones(n, dtype=dtype)
 
-    # NOTE on timing: each host→device dispatch through a remote-TPU
-    # tunnel costs ~20 ms, and block_until_ready is unreliable there, so
-    # all kernels repeat on-device via lax.fori_loop and timing barriers
-    # are forced readbacks (np.asarray).
-
-    # ---- device stream calibration (roofline context) ---------------------
+    # ---- device stream calibration (roofline context) --------------------
     # triad over an HBM-sized operand (w' = v + 2w reads v,w and writes
-    # w: 3 accesses/element/rep).  The loop returns a SCALAR — pulling
-    # the 64 MB result back through the remote-TPU tunnel used to
-    # dominate the measurement and made the "bandwidth" nonsense.
-    @jax.jit
-    def stream_loop(u, v, n_reps):
-        w = jax.lax.fori_loop(0, n_reps, lambda _, w: v + 2.0 * w, u)
-        return jnp.sum(w)      # one extra pass per CALL, not per rep
-
+    # w: 3 accesses/element/rep); slope-timed.
     ns = 1 << 24
-    sreps = 100
-    u = jnp.ones(ns, dtype); v = jnp.ones(ns, dtype)
-    np.asarray(stream_loop(u, v, 2))
-    t0 = time.perf_counter()
-    np.asarray(stream_loop(u, v, sreps))
-    stream_gbs = ns * 4 * 3 / ((time.perf_counter() - t0) / sreps) / 1e9
+    u = jnp.ones(ns, dtype)
+    v = jnp.ones(ns, dtype)
+
+    def mk_stream(r):
+        @jax.jit
+        def f(u, v):
+            w = jax.lax.fori_loop(0, r, lambda _, w: v + 2.0 * w, u)
+            return jnp.sum(w)
+        return f
+
+    st = slope_time(mk_stream, (u, v), 50, 250)
+    stream_gbs = ns * 4 * 3 / st / 1e9
 
     # ---- SpMV throughput -------------------------------------------------
-    @jax.jit
-    def spmv_loop(A, x, n_reps):
-        def body(_, v):
-            w = A.matvec(v)
-            return w / jnp.max(jnp.abs(w))
-        return jax.lax.fori_loop(0, n_reps, body, x)
+    def mk_spmv(r):
+        @jax.jit
+        def f(A, x):
+            def body(_, vv):
+                w = A.matvec(vv)
+                return w / jnp.max(jnp.abs(w))
+            return jax.lax.fori_loop(0, r, body, x)
+        return f
 
-    np.asarray(spmv_loop(A, x, 2))  # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(spmv_loop(A, x, reps))
-    spmv_t = (time.perf_counter() - t0) / reps
+    spmv_t = slope_time(mk_spmv, (A, x), 2000, 8000)
     spmv_nnz_s = nnz / spmv_t
 
-    # ---- AMG V-cycle throughput -------------------------------------------
-    @jax.jit
-    def vcycle_loop(s, r, n_reps):
-        def body(_, v):
-            w = amg_apply(s, v)
-            return w / jnp.max(jnp.abs(w))
-        return jax.lax.fori_loop(0, n_reps, body, r)
+    # ---- AMG V-cycle throughput ------------------------------------------
+    def mk_vcyc(r):
+        @jax.jit
+        def f(s, rr):
+            def body(_, vv):
+                w = amg_apply(s, vv)
+                return w / jnp.max(jnp.abs(w))
+            return jax.lax.fori_loop(0, r, body, rr)
+        return f
 
     # nnz touched per cycle: smoothing sweeps + residual on each level
     # (pre+post Chebyshev(order) ≈ 2·order−1 SpMVs each + 1 residual) + P/R
@@ -147,13 +184,10 @@ def main():
                  if lv.smoother == "chebyshev" else 1)
         cyc_nnz += lv.A.nnz * (sweeps * (2 * order - 1) + 1)
         cyc_nnz += lv.P.nnz + lv.R.nnz
-    np.asarray(vcycle_loop(state, b, 2))
-    t0 = time.perf_counter()
-    np.asarray(vcycle_loop(state, b, vreps))
-    vcyc_t = (time.perf_counter() - t0) / vreps
+    vcyc_t = slope_time(mk_vcyc, (state, b), 200, 800)
     vcyc_nnz_s = cyc_nnz / vcyc_t
 
-    # ---- full solve to rtol=1e-8 (warm) ------------------------------------
+    # ---- full solve to rtol=1e-8 (warm; raw wall incl. one round-trip) ---
     @jax.jit
     def solve(A, state, b, x0):
         mv = lambda v: A.matvec(v)
@@ -169,7 +203,7 @@ def main():
     solve_t = time.perf_counter() - t0
     iters_big = int(iters)
 
-    # ---- ex1-class parity (hypre: 6 iters @ rtol 1e-6, refOutput/ex1.txt) --
+    # ---- ex1-class parity (hypre: 6 iters @ rtol 1e-6, refOutput/ex1.txt)
     @jax.jit
     def solve_ex1(A, state, b, x0):
         mv = lambda v: A.matvec(v)
@@ -193,13 +227,22 @@ def main():
         "extra": {
             "backend": jax.default_backend(),
             "problem": f"laplacian_7pt {nx}^3 (n={n}, nnz={nnz}) f32",
+            "timing": "slope-timed per-op (tunnel fixed cost cancelled); "
+                      "setup/solve are raw wall",
             "amg_vcycle_nnz_per_s": round(vcyc_nnz_s),
             "amg_levels": len(state.levels),
             "pcg_amg_iters_to_1e-8": iters_big,
             "pcg_amg_solve_s": round(solve_t, 4),
+            "pcg_amg_solve_device_s": round(max(0.0, solve_t - tunnel_rt_s), 4),
             "amg_setup_s": round(setup_time, 3),
             "amg_setup_cold_s": round(setup_cold_time, 3),
             "backend_init_s": round(backend_init_s, 3),
+            "backend_init_breakdown_s": {
+                "device_attach": round(attach_s, 3),
+                "first_transfer": round(first_transfer_s, 3),
+                "warmup_jit_compiles": round(warm_compile_s, 3),
+            },
+            "tunnel_roundtrip_ms": round(tunnel_rt_s * 1e3, 2),
             "stream_triad_gbs": round(stream_gbs, 2),
             # minimal-traffic model: D diagonal rows + x + y per SpMV
             "spmv_effective_gbs": round(

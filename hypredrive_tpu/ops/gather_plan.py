@@ -46,7 +46,12 @@ from typing import Optional, Tuple
 import numpy as np
 
 TILE_ROWS = 1024          # output rows per tile: 8 sublanes x 128 lanes
-GROUP_MAX = 32            # max passes fused into one kernel grid step
+GROUP_MAX = 256           # max passes fused into one kernel grid step
+                          # (VMEM: 2 double-buffered (G, 8, 128) blocks
+                          # = G * 10 KB)
+# grouping cost model, slope-measured on v5e (round 5): streaming one
+# pass's dense val+lane tile ~7.5 ns, fixed per-grid-step cost ~290 ns
+GROUP_STEP_COST = 39      # per-step cost in pass-stream units
 
 
 @dataclass
@@ -216,23 +221,40 @@ def build_plan(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     return GatherPlan(*arrs, n_rows, n_cols, n_row_tiles, x_sublanes, G)
 
 
-def _group_plan(pt, pf, q0, slot, elane, evals, n_row_tiles):
-    """Pick the kernel group size G (passes fused per grid step) and pad
-    every tile's pass count to a multiple of it.
+def pick_group(counts) -> int:
+    """Choose the kernel group size G from the per-tile pass counts by
+    minimizing  padded_passes * stream_cost + grid_steps * step_cost.
 
-    Fusing G passes into one grid step amortizes the per-step gather cost
-    ~G-fold (measured on v5e: 136 → 59 ns/pass at G=8; G=16 cut the
-    64³ AMG V-cycle a further ~20% and G=32 ~6% more); padding wastes
-    at most (G−1)/avg_passes_per_tile, so G is capped at avg/3
-    (measured pad inflation ≤ 6% per level)."""
+    Round-4 shipped an avg/3 power-of-two heuristic (G=16 on the 64³
+    L1 operator); slope-timed on the chip the per-step fixed cost
+    (~290 ns) dominates far beyond that — one grid step per tile
+    (G = max tile count, 100 here) ran the same operator 2x faster even
+    with the padding inflation.  The cost model picks that point (or a
+    k-steps-per-tile split when the max count exceeds GROUP_MAX)."""
+    counts = np.asarray(counts, np.int64)
+    maxc = int(counts.max(initial=1))
+    cands = {16, 32, 64, 128, GROUP_MAX}
+    for k in (1, 2, 3, 4):
+        cands.add(-(-maxc // k))
+    best_cost, best_g = None, 1
+    for G in sorted(c for c in cands if 1 <= c <= GROUP_MAX):
+        padded = (-(-counts // G) * G)
+        np_g = int(padded.sum())
+        cost = np_g + (np_g // G) * GROUP_STEP_COST
+        if best_cost is None or cost < best_cost:
+            best_cost, best_g = cost, G
+    return best_g
+
+
+def _group_plan(pt, pf, q0, slot, elane, evals, n_row_tiles):
+    """Pick the kernel group size G (passes fused per grid step) via
+    ``pick_group`` and pad every tile's pass count to a multiple of
+    it."""
     NP = len(pt)
-    avg = NP / max(1, n_row_tiles)
-    G = GROUP_MAX
-    while G > 1 and G * 3 > avg:
-        G //= 2
+    tiles, counts = np.unique(pt, return_counts=True)
+    G = pick_group(counts) if NP else 1
     if G <= 1:
         return (pt, pf, q0, slot, elane, evals), 1
-    tiles, counts = np.unique(pt, return_counts=True)
     newc = -(-counts // G) * G
     NP2 = int(newc.sum())
     if NP2 == NP:

@@ -129,11 +129,15 @@ class DiaSpMV:
         max_q = max(q for q, _ in self.qr)
         self.PLO = max(0, -min_q)
         # block sublanes: large enough that per-grid-step overhead
-        # amortizes, small enough to double-buffer in VMEM and keep a
-        # few steps of pipelining
+        # amortizes, small enough that the double-buffered (D, B, 128)
+        # diagonal blocks stay inside the ~16 MB VMEM scoped limit
+        # (wide-D coarse operators OOM at B=256)
+        D = max(1, len(self.offsets))
         row_sub = -(-n_rows // 128)
+        budget = 10 << 20          # bytes for 2x (D, B, 128) f32 blocks
         B = self.MAX_BLOCK_SUBLANES
-        while B > 8 and B >= 2 * row_sub:
+        while B > 8 and (B >= 2 * row_sub
+                         or 2 * D * B * 128 * 4 > budget):
             B //= 2
         self.B = B
         self.n_tiles = -(-row_sub // B)

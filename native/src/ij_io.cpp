@@ -364,6 +364,38 @@ void hdrv_plan_end(hdrv_plan_handle *h) {
 // and (b) subgroups of an i8 block enumerate as (s ascending, k) with
 // per-s counts, a couple of linear passes over each block.  Two threads
 // split the row tiles.  Returns false only on the >512-duplicates cap.
+// kernel group size G: minimize padded_passes * stream_cost +
+// grid_steps * step_cost (slope-measured on v5e: ~7.5 ns/pass dense-
+// tile stream, ~290 ns fixed per grid step -> ratio 39).  Mirrors
+// gather_plan.pick_group.
+static int64_t pick_group_native(const std::vector<int64_t> &npass,
+                                 int64_t T) {
+  const int64_t kGroupMax = 256, kStepCost = 39;
+  int64_t maxc = 1;
+  for (int64_t t = 0; t < T; ++t)
+    if (npass[(size_t)t] > maxc) maxc = npass[(size_t)t];
+  int64_t cands[9] = {16, 32, 64, 128, kGroupMax,
+                      maxc, (maxc + 1) / 2, (maxc + 2) / 3,
+                      (maxc + 3) / 4};
+  int64_t best_g = 1;
+  int64_t best_cost = -1;
+  // evaluate in ascending order so ties keep the smaller G (matches
+  // the python chooser)
+  std::sort(cands, cands + 9);
+  for (int64_t G : cands) {
+    if (G < 1 || G > kGroupMax) continue;
+    int64_t np_g = 0;
+    for (int64_t t = 0; t < T; ++t)
+      np_g += ((npass[(size_t)t] + G - 1) / G) * G;
+    int64_t cost = np_g + (np_g / G) * kStepCost;
+    if (best_cost < 0 || cost < best_cost) {
+      best_cost = cost;
+      best_g = G;
+    }
+  }
+  return best_g;
+}
+
 static bool fast_plan_begin(hdrv_plan_handle *h, PlanState *st,
                             const int64_t *rows, const int64_t *cols,
                             int64_t n, int64_t T, int64_t max_s) {
@@ -462,11 +494,7 @@ static bool fast_plan_begin(hdrv_plan_handle *h, PlanState *st,
   // kernel group size G and per-tile pass padding — same policy as
   // gather_plan._group_plan
   {
-    int64_t np_raw = 0;
-    for (int64_t t = 0; t < T; ++t) np_raw += npass[(size_t)t];
-    double avg = (double)np_raw / (double)(T > 0 ? T : 1);
-    int64_t G = 32;
-    while (G > 1 && (double)(G * 3) > avg) G /= 2;
+    int64_t G = pick_group_native(npass, T);
     h->group = G;
     if (G > 1)
       for (int64_t t = 0; t < T; ++t)
@@ -599,11 +627,7 @@ hdrv_plan_handle *hdrv_plan_begin(const int64_t *rows, const int64_t *cols,
   // kernel group size G (passes fused per grid step) and per-tile pass
   // padding to a multiple of it — same policy as gather_plan._group_plan
   {
-    int64_t np_raw = 0;
-    for (int64_t t = 0; t < n_row_tiles; ++t) np_raw += npass[(size_t)t];
-    double avg = (double)np_raw / (double)(n_row_tiles > 0 ? n_row_tiles : 1);
-    int64_t G = 32;
-    while (G > 1 && (double)(G * 3) > avg) G /= 2;
+    int64_t G = pick_group_native(npass, n_row_tiles);
     h->group = G;
     if (G > 1)
       for (int64_t t = 0; t < n_row_tiles; ++t)
