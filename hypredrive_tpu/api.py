@@ -73,12 +73,76 @@ class HypreDrive:
             from .linsys.printsys import PrintSystemContext
 
             self._print_ctx = PrintSystemContext(ps)
+        self._load_timestep_schedule()
+
+    def _load_timestep_schedule(self):
+        """Load the (timestep, ls_start) schedule from
+        ``linear_system.timestep_filename`` (ASCII: count line, then
+        "timestep ls_start" lines; ref: hypredrv_LinearSystemLoad-
+        TimestepSchedule, src/internal/linsys.c:3195-3292) or the lsseq
+        container's timestep table (ref: hypredrv_LSSeqReadTimesteps-
+        WithIds, src/internal/lsseq.c:2029-2107), and feed it to the
+        reuse engine + scheduled dumps (ref: src/HYPREDRV.c:1258-1281)."""
+        self._timestep_schedule = None
+        ls = self.args.linear_system
+        ts_file = ls.get("timestep_filename") or ""
+        seq_file = ls.get("sequence_filename") or ""
+        schedule = None
+        if ts_file:
+            import os
+
+            if not os.path.isfile(ts_file):
+                raise HypredrvError(
+                    f"timestep file not found: '{ts_file}'",
+                    ErrorCode.FILE_NOT_FOUND)
+            with open(ts_file) as fh:
+                tokens = fh.read().split()
+            if not tokens:
+                raise HypredrvError(
+                    f"invalid timestep file header in '{ts_file}'",
+                    ErrorCode.INVALID_ARG)
+            total = int(tokens[0])
+            if total <= 0 or len(tokens) < 1 + 2 * total:
+                raise HypredrvError(
+                    f"invalid timestep file '{ts_file}'",
+                    ErrorCode.INVALID_ARG)
+            schedule = []
+            for i in range(total):
+                t, s = int(tokens[1 + 2 * i]), int(tokens[2 + 2 * i])
+                if s < 0:
+                    raise HypredrvError(
+                        f"invalid timestep entry in '{ts_file}' at line "
+                        f"{i + 2}", ErrorCode.INVALID_ARG)
+                schedule.append((t, s))
+        elif seq_file:
+            import os
+
+            if os.path.isfile(seq_file):
+                from .io.lsseq import LSSeqFile
+
+                f = LSSeqFile(seq_file)
+                if f.summary().has_timesteps:
+                    schedule = f.read_timesteps()
+        if schedule:
+            self._timestep_schedule = schedule
+            if self._reuse_state is not None:
+                self._reuse_state.set_timesteps(schedule)
+
+    def _timestep_index(self, ls_id: int):
+        if not getattr(self, "_timestep_schedule", None):
+            return None
+        import bisect
+
+        starts = [s for _, s in self._timestep_schedule]
+        idx = bisect.bisect_right(starts, ls_id) - 1
+        return idx if idx >= 0 else None
 
     def _maybe_dump(self, stage: str):
         """ref: MaybeDumpLinearSystem (src/HYPREDRV.c:611)."""
         if self._print_ctx is not None and self.system is not None:
-            self._print_ctx.dump(self.system, stage,
-                                 self.current_system_index, self.stats)
+            self._print_ctx.dump(
+                self.system, stage, self.current_system_index, self.stats,
+                timestep=self._timestep_index(self.current_system_index))
 
     def set_library_mode(self):
         """ref: HYPREDRV_SetLibraryMode (src/HYPREDRV.c:1309)"""
@@ -213,7 +277,8 @@ class HypreDrive:
         if self.precon is None:
             rebuild = True
             if self._reuse_state is not None:
-                self._reuse_state.note_rebuild(self.current_system_index)
+                self._reuse_state.note_rebuild(self.current_system_index,
+                                               self.stats)
         elif self._reuse_state is not None:
             rebuild = self._reuse_state.should_rebuild(
                 self.current_system_index, self.stats
@@ -278,7 +343,8 @@ class HypreDrive:
         (ref: main.c:221 + reuse)."""
         keep = (
             self._reuse_state is not None
-            and self._reuse_state.should_keep(self.current_system_index)
+            and self._reuse_state.should_keep(self.current_system_index,
+                                              self.stats)
         )
         if not keep:
             if self.precon is not None:

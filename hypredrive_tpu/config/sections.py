@@ -470,7 +470,9 @@ REUSE_SCHEMA = Schema("reuse", {
         "max_solve_time_ratio": F("float", 0.0),
         "rebuild_on_new_timestep": F("bool", False),
         "rebuild_on_solver_failure": F("bool", True),
-        "rebuild_on_new_level": F("bool", False),
+        # true = watch every level depth; or a list of depths to watch
+        # (ref: guards.rebuild_on_new_level IntArray, precon_reuse.h:122)
+        "rebuild_on_new_level": F("any", None),
     }),
     "adaptive": Schema("adaptive", {
         "rebuild_threshold": F("float", 0.5),

@@ -178,6 +178,7 @@ REUSE_METRIC = Choices({
 REUSE_TRANSFORM = Choices({
     "raw": 0, "delta": 1, "ratio": 2, "relative_increase": 3,
 })
-REUSE_MEAN = Choices({"arithmetic": 0, "power": 1, "geometric": 2})
+REUSE_MEAN = Choices({"arithmetic": 0, "power": 1, "geometric": 2,
+                      "harmonic": 3, "rms": 4, "min": 5, "max": 6})
 REUSE_DIRECTION = Choices({"higher_is_worse": 0, "lower_is_worse": 1})
 REUSE_HISTORY_SOURCE = Choices({"entries": 0, "levels": 1})

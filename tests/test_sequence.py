@@ -254,3 +254,243 @@ def test_reuse_rebuild_on_failure():
 
     st.record_observation(0, None, R())
     assert st.should_rebuild(1) is True
+
+
+def test_per_timestep_reuse_rebuilds_at_boundaries(seq_file):
+    """End-to-end ex7-style sequence: with per_timestep reuse, the
+    preconditioner is built at ls 0, KEPT through ls 1 (same timestep),
+    rebuilt at ls 2 (timestep table says timestep 1 starts there) and
+    kept at ls 3 (ref: precon_reuse.h per_timestep +
+    lsseq.c:2029-2107 timestep table feeding the schedule)."""
+    path, systems = seq_file
+    cfg = {
+        "general": {},
+        "linear_system": {"sequence_filename": path},
+        "solver": {"gmres": {"relative_tol": 1e-8, "max_iter": 200}},
+        "preconditioner": {"ilu": {}, "reuse": {
+            "enabled": True, "per_timestep": True}},
+    }
+    drv = hd.HypreDrive()
+    try:
+        drv.input_args_from_dict(cfg)
+        # schedule loaded from the lsseq timestep table at parse time
+        assert drv._reuse_state is not None
+        assert drv._reuse_state.ts_starts == [0, 2]
+        precon_objs = []
+        for k in range(4):
+            drv.linear_system_build()
+            drv.reset_initial_guess()
+            drv.precon_create()
+            precon_objs.append(drv.precon)
+            drv.linear_solver_create()
+            drv.linear_solver_setup()
+            res = drv.linear_solver_apply()
+            assert res.converged
+            drv.precon_destroy()
+            drv.linear_solver_destroy()
+        # same object reused inside a timestep, fresh one across the
+        # boundary: [p0, p0, p2, p2]
+        assert precon_objs[1] is precon_objs[0]
+        assert precon_objs[2] is not precon_objs[1]
+        assert precon_objs[3] is precon_objs[2]
+    finally:
+        drv.destroy()
+
+
+def test_timestep_file_schedule(tmp_path):
+    """timestep_filename ASCII format: count line then 'timestep
+    ls_start' lines (ref: src/internal/linsys.c:3195-3292)."""
+    from hypredrive_tpu.precon.reuse import PreconReuseState
+    from hypredrive_tpu.config.sections import REUSE_SCHEMA
+
+    ts = tmp_path / "steps.txt"
+    ts.write_text("3\n0 0\n1 2\n2 5\n")
+    cfg = {
+        "general": {},
+        "linear_system": {
+            "matrix_filename": "data/ps3d10pt7/np1/IJ.out.A",
+            "rhs_mode": "ones",
+            "timestep_filename": str(ts),
+        },
+        "solver": "pcg",
+        "preconditioner": {"amg": {}, "reuse": {
+            "enabled": True, "per_timestep": True}},
+    }
+    drv = hd.HypreDrive()
+    try:
+        drv.input_args_from_dict(cfg)
+        st = drv._reuse_state
+        assert st is not None
+        assert st.ts_starts == [0, 2, 5]
+        assert st.ts_ids == [0, 1, 2]
+        # timestep index = last start <= ls_id
+        assert st._timestep_of(0) == 0
+        assert st._timestep_of(1) == 0
+        assert st._timestep_of(2) == 1
+        assert st._timestep_of(4) == 1
+        assert st._timestep_of(5) == 2
+    finally:
+        drv.destroy()
+    # malformed file → typed rejection
+    bad = tmp_path / "bad.txt"
+    bad.write_text("2\n0 0\n")
+    cfg["linear_system"]["timestep_filename"] = str(bad)
+    drv = hd.HypreDrive()
+    try:
+        with pytest.raises(hd.HypredrvError):
+            drv.input_args_from_dict(cfg)
+    finally:
+        drv.destroy()
+
+
+def test_reuse_rebuild_on_new_level():
+    """guards.rebuild_on_new_level: watched stats-level depths trigger a
+    rebuild when their active index moves (ref: precon_reuse.c:
+    1304-1324)."""
+    from hypredrive_tpu.precon.reuse import PreconReuseState
+    from hypredrive_tpu.config.sections import REUSE_SCHEMA
+    from hypredrive_tpu.core.stats import Stats
+
+    args = REUSE_SCHEMA.defaults()
+    args.update({"enabled": True})
+    args["guards"].update({"rebuild_on_new_level": [0]})
+    st = PreconReuseState(args)
+    stats = Stats()
+
+    class R:
+        iters = 5
+        solve_time = 0.1
+        converged = True
+
+    stats.annotate_level_begin("timestep", 0)
+    st.note_rebuild(0, stats)
+    st.record_observation(0, stats, R())
+    assert st.should_rebuild(1, stats) is False     # same level
+    stats.annotate_level_end("timestep", 0)
+    stats.annotate_level_begin("timestep", 1)       # level 0 moved
+    assert st.should_rebuild(1, stats) is True
+    # depth 1 changes are NOT watched with [0]
+    st.record_observation(1, stats, R())
+    stats.annotate_level_begin("newton", 0)
+    assert st.should_rebuild(2, stats) is False
+    stats.annotate_level_end("newton", 0)
+    stats.annotate_level_begin("newton", 1)
+    assert st.should_rebuild(2, stats) is False
+
+
+def test_reuse_should_keep_follows_decision():
+    """should_keep mirrors HYPREDRV_PreconDestroy: evaluate the NEXT
+    system's decision; static frequency N destroys exactly at the
+    boundary (ref: src/HYPREDRV.c PreconDestroy)."""
+    from hypredrive_tpu.precon.reuse import PreconReuseState
+    from hypredrive_tpu.config.sections import REUSE_SCHEMA
+
+    args = REUSE_SCHEMA.defaults()
+    args.update({"enabled": True, "frequency": 2})
+    st = PreconReuseState(args)
+    st.note_rebuild(0)
+
+    class R:
+        iters = 5
+        solve_time = 0.1
+        converged = True
+
+    st.record_observation(0, None, R())
+    assert st.should_keep(0) is True      # next id 1: 1 % 2 != 0 → keep
+    st.record_observation(1, None, R())
+    assert st.should_keep(1) is False     # next id 2: boundary → destroy
+    # frequency 3: keep inside the window, destroy at the boundary
+    args3 = REUSE_SCHEMA.defaults()
+    args3.update({"enabled": True, "frequency": 3})
+    st3 = PreconReuseState(args3)
+    st3.note_rebuild(0)
+    st3.record_observation(0, None, R())
+    assert st3.should_keep(0) is True     # next id 1
+    st3.record_observation(1, None, R())
+    assert st3.should_keep(1) is True     # next id 2
+    st3.record_observation(2, None, R())
+    assert st3.should_keep(2) is False    # next id 3: 3 % 3 == 0
+
+
+def test_adaptive_amortization_and_history_reduction():
+    """solve_overhead_vs_setup uses the amortization-window budget
+    (ref: precon_reuse.c:1146-1165) and completed-level samples reduce
+    with mean over num_solves (ref: PreconReuseSampleMetricGet)."""
+    from hypredrive_tpu.precon.reuse import PreconReuseState
+    from hypredrive_tpu.config.sections import REUSE_SCHEMA
+
+    args = REUSE_SCHEMA.defaults()
+    args.update({"enabled": True, "policy": 1})
+    args["adaptive"].update({
+        "rebuild_threshold": 0.5,
+        "components": [{
+            "metric": "solve_overhead_vs_setup", "weight": 1.0,
+            "transform": {"amortization_window": 10},
+            "history": {"max_points": 1},
+        }],
+    })
+    st = PreconReuseState(args)
+    st.note_rebuild(0)
+
+    class R:
+        def __init__(self, solve_time):
+            self.iters = 5
+            self.solve_time = solve_time
+            self.converged = True
+
+    class FakeStats:
+        entries = [object()]
+        _levels = []
+        _level_records = []
+
+        @staticmethod
+        def setup_time():
+            return 1.0       # budget = 1.0 / 10 = 0.1
+
+    stats = FakeStats()
+    st.record_observation(0, stats, R(0.2))   # baseline solve 0.2
+    # drift +0.04 < budget 0.1 → score 0.4 < 0.5 → reuse
+    st.record_observation(1, stats, R(0.24))
+    assert st.should_rebuild(2, stats) is False
+    # drift +0.2 = 2 budgets → score 2.0 ≥ 0.5 → rebuild
+    st.record_observation(2, stats, R(0.4))
+    assert st.should_rebuild(3, stats) is True
+
+
+def test_adaptive_window_mean_baseline_and_means():
+    """transform.baseline: window_mean compares each sample to the
+    window average instead of the rebuild baseline; rms/harmonic/min/
+    max means are available (ref: precon_reuse.h:48-52,
+    k_mean_map precon_reuse.c:314-321)."""
+    from hypredrive_tpu.precon.reuse import PreconReuseState
+    from hypredrive_tpu.config.sections import REUSE_SCHEMA
+
+    args = REUSE_SCHEMA.defaults()
+    args.update({"enabled": True, "policy": 1})
+    args["adaptive"].update({
+        "rebuild_threshold": 0.10,
+        "components": [{
+            "metric": "iterations", "weight": 1.0,
+            "transform": {"kind": "relative_increase",
+                          "baseline": "window_mean"},
+            "mean": {"kind": "max"},
+            "history": {"max_points": 4},
+        }],
+    })
+    st = PreconReuseState(args)
+    st.note_rebuild(0)
+
+    class R:
+        def __init__(self, iters):
+            self.iters = iters
+            self.solve_time = 0.1
+            self.converged = True
+
+    for i, it in enumerate([10, 10, 10, 10]):
+        st.record_observation(i, None, R(it))
+    # flat history: every sample equals the window mean → score 0
+    assert st.should_rebuild(4) is False
+    # one spike: window mean 12.5, max relative increase (20-12.5)/12.5
+    # = 0.6 ≥ 0.1 → rebuild
+    st.record_observation(4, None, R(20))
+    assert st.should_rebuild(5) is True
