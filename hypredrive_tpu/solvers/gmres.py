@@ -24,19 +24,32 @@ def _gmres_core(matvec, precon, b, x0, rtol, atol,
     dtype = b.dtype
     n = b.shape[0]
 
-    b_prec = precon(b)
-    b_norm = jnp.sqrt(jnp.vdot(b_prec, b_prec))
-    r0 = precon(b - matvec(x0))
-    r0_norm = jnp.sqrt(jnp.vdot(r0, r0))
+    # hypre convention: the convergence contract is on the TRUE residual
+    # (epsilon = max(a_tol, r_tol*||b||) with unpreconditioned norms;
+    # the refOutput goldens land just under r_tol in true rel-res even
+    # for MGR preconditioners whose M^-1 norm underestimates the true
+    # residual 20x).  The inner Givens estimate tracks the
+    # PRECONDITIONED residual, so each restart cycle converts the
+    # remaining true-residual reduction into preconditioned units via
+    # the cycle-start ratio and the outer real-residual check (true
+    # units) has the final word.
+    b_norm = jnp.sqrt(jnp.vdot(b, b))
+    rt0 = b - matvec(x0)
+    r0_norm = jnp.sqrt(jnp.vdot(rt0, rt0))
     denom = jnp.where(b_norm > 0, b_norm, jnp.where(r0_norm > 0, r0_norm, 1.0))
     threshold = jnp.maximum(rtol * denom, atol)
 
     history0 = jnp.full(max_iter + 1, jnp.nan, dtype=dtype).at[0].set(r0_norm)
 
-    def arnoldi_cycle(x, total_iters, hist):
+    def arnoldi_cycle(x, total_iters, r_true_norm, hist):
         """One restart cycle; returns updated x, iters, residual estimate."""
         r = precon(b - matvec(x))
         beta = jnp.sqrt(jnp.vdot(r, r))
+        # inner threshold: shrink the preconditioned estimate by the
+        # factor the TRUE residual still needs (plus the floor of an
+        # absolute-zero beta)
+        factor = jnp.where(r_true_norm > 0, threshold / r_true_norm, 1.0)
+        inner_threshold = beta * jnp.minimum(factor, 1.0)
         V0 = jnp.zeros((m + 1, n), dtype)
         V0 = V0.at[0].set(jnp.where(beta > 0, r / beta, r))
         H0 = jnp.zeros((m + 1, m), dtype)
@@ -85,11 +98,11 @@ def _gmres_core(matvec, precon, b, x0, rtol, atol,
             g = g.at[j].set(c_new * g[j])
             norm = jnp.abs(g[j + 1])
             hist = hist.at[total_iters + j + 1].set(norm)
-            done = norm <= threshold
+            done = norm <= inner_threshold
             return (V, H, cs, sn, g, j + 1, norm, done, hist)
 
         init = (V0, H0, cs0, sn0, g0, jnp.int32(0), beta,
-                beta <= threshold, hist)
+                beta <= inner_threshold, hist)
         V, H, cs, sn, g, j, norm, done, hist = jax.lax.while_loop(
             cond, body, init)
 
@@ -104,7 +117,7 @@ def _gmres_core(matvec, precon, b, x0, rtol, atol,
 
         y = jax.lax.fori_loop(0, m, back_sub, jnp.zeros(m, dtype))
         dx = jnp.einsum("k,kn->n", y, V[:m])
-        return x + dx, j, norm, hist
+        return x + dx, j, norm, done, hist
 
     def outer_cond(c):
         x, total, norm, done, hist = c
@@ -112,13 +125,20 @@ def _gmres_core(matvec, precon, b, x0, rtol, atol,
 
     def outer_body(c):
         x, total, norm, done, hist = c
-        x, j, norm_est, hist = arnoldi_cycle(x, total, hist)
+        x, j, norm_est, conv_inner, hist = arnoldi_cycle(x, total, norm,
+                                                         hist)
         total = total + j
         if skip_real_res_check:
+            # trust the inner estimate: the cycle ran until it shrank by
+            # the factor the true residual still needed (ref: hypre
+            # skip_real_r_norm_check)
             norm = norm_est
-            done = norm <= threshold
+            done = conv_inner
         else:
-            r = precon(b - matvec(x))
+            # real-residual check in TRUE units (ref: hypre GMRES
+            # "false convergence" guard — continue when the actual
+            # residual has not met epsilon)
+            r = b - matvec(x)
             norm = jnp.sqrt(jnp.vdot(r, r))
             done = norm <= threshold
         # no progress this cycle → breakdown, stop

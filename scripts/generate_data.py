@@ -47,11 +47,13 @@ def main(outdir="data"):
     # multiphysics stand-in (compflow6k-class): reference-difficulty FV
     # system — high-contrast permeability + upwind convection + two-way
     # coupling tuned so GMRES+MGR lands in the reference's 8-12
-    # iteration regime (refOutput/ex3.txt: 8, ex4.txt: 10)
+    # iteration regime (refOutput/ex3.txt: 8, ex4.txt: 10).  Knobs
+    # re-calibrated in round 5 after the GMRES stopping test moved to
+    # the hypre true-residual contract (achieved rel-res ≤ rtol).
     d2 = os.path.join(outdir, "multiphys2k", "np1")
     os.makedirs(d2, exist_ok=True)
-    Am, dofmap = multiphysics_fv_system(12, 3, contrast=0.5, coupling=0.2,
-                                        convection=0.12)
+    Am, dofmap = multiphysics_fv_system(12, 3, contrast=0.3, coupling=0.12,
+                                        convection=0.08)
     bm = np.ones(Am.shape[0])
     ij.write_matrix_ascii(os.path.join(d2, "IJ.out.A"), Am)
     ij.write_vector_ascii(os.path.join(d2, "IJ.out.b"), bm)

@@ -32,10 +32,11 @@ GOLDEN = {
     # systems (multiphysics_fv_system: lognormal permeability contrast,
     # upwind convection, two-way coupling) tuned into the reference's
     # 8-18 GMRES+MGR iteration regime (refOutput/ex3.txt: 8,
-    # ex4.txt: 10, ex7.txt: 13/18/12/...)
-    "ex3.yml": [(9, 1e-4)],
-    "ex4.yml": [(8, 1e-4)],
-    "ex5.yml": [(9, 1e-4)],
+    # ex4.txt: 10, ex7.txt: 13/18/12/...).  The rel-res ceiling is the
+    # hypre contract: achieved TRUE rel-res ≤ rtol (1e-6).
+    "ex3.yml": [(9, 1e-6)],
+    "ex4.yml": [(10, 1e-6)],
+    "ex5.yml": [(9, 1e-6)],
     "ex7.yml": [(12, 1e-5), (21, 1e-5), (8, 1e-5), (12, 1e-5),
                 (21, 1e-5), (8, 1e-5), (12, 1e-5), (21, 1e-5)],
     # reference sweep is 7/6/6/7/6 (examples/refOutput/ex8.txt)
