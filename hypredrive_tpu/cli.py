@@ -47,6 +47,7 @@ def parse_argv(argv: List[str]):
     want_help: Optional[str] = None
     want_info = False
     dry_run = False
+    profile_dir: Optional[str] = None
 
     i = 0
     while i < len(argv):
@@ -69,12 +70,18 @@ def parse_argv(argv: List[str]):
             i += 1
         elif arg in ("-n", "--dry-run"):
             dry_run = True
+        elif arg == "--profile":
+            if i + 1 >= len(argv):
+                raise SystemExit("--profile requires DIR")
+            profile_dir = argv[i + 1]
+            i += 1
         elif arg.startswith("-"):
             raise SystemExit(f"unknown option {arg}")
         else:
             configs.append(arg)
         i += 1
-    return configs, overrides, preset, want_help, want_info, dry_run
+    return (configs, overrides, preset, want_help, want_info, dry_run,
+            profile_dir)
 
 
 def run_one_config(path: str, overrides=None, preset=None, dry_run=False,
@@ -165,7 +172,8 @@ def run_one_config(path: str, overrides=None, preset=None, dry_run=False,
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     try:
-        configs, overrides, preset, want_help, want_info, dry_run = parse_argv(argv)
+        (configs, overrides, preset, want_help, want_info, dry_run,
+         profile_dir) = parse_argv(argv)
     except SystemExit as exc:
         print(exc, file=sys.stderr)
         return 2
@@ -183,13 +191,27 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 2
 
     _print_banner()
+    import contextlib
+
+    prof_ctx = contextlib.nullcontext()
+    if profile_dir:
+        # capture a Perfetto/TensorBoard trace of the whole run; the
+        # stats annotator's TraceAnnotation spans + the amg_L* named
+        # scopes give the per-phase/per-level breakdown; summarize with
+        # scripts/analyze_caliper.py DIR (the Caliper-report analogue,
+        # ref: include/internal/stats.h:47-80)
+        import jax
+
+        prof_ctx = jax.profiler.trace(profile_dir)
     status = 0
-    for path in configs:
-        try:
-            status |= run_one_config(path, list(overrides), preset, dry_run)
-        except HypredrvError as exc:
-            print(f"ERROR: {exc}", file=sys.stderr)
-            status = 1
+    with prof_ctx:
+        for path in configs:
+            try:
+                status |= run_one_config(path, list(overrides), preset,
+                                         dry_run)
+            except HypredrvError as exc:
+                print(f"ERROR: {exc}", file=sys.stderr)
+                status = 1
     now = time.strftime("%Y-%m-%d %H:%M:%S")
     print(f"\nDate and time: {now}")
     print("hypredrive-tpu done!")

@@ -76,12 +76,37 @@ class Stats:
         self.initialize_time = 0.0
         self.finalize_time = 0.0
         self._ls_counter = -1
+        self._trace_spans: Dict[str, object] = {}
 
     # ---- annotation state machine -------------------------------------
+
+    def _trace_begin(self, tag: str):
+        """Open a jax.profiler.TraceAnnotation span for this phase (the
+        Caliper CALI_MARK_BEGIN analogue, ref: include/internal/
+        stats.h:47-80).  Spans are visible in traces captured with the
+        CLI --profile flag / scripts/profile_solve.py; when no profiler
+        session is active TraceMe is a near-no-op."""
+        try:
+            import jax
+
+            ta = jax.profiler.TraceAnnotation(f"hypredrv::{tag}")
+            ta.__enter__()
+            self._trace_spans[tag] = ta
+        except Exception:
+            pass
+
+    def _trace_end(self, tag: str):
+        ta = self._trace_spans.pop(tag, None)
+        if ta is not None:
+            try:
+                ta.__exit__(None, None, None)
+            except Exception:
+                pass
 
     def annotate_begin(self, name: str, index: Optional[int] = None):
         now = time.perf_counter()
         key = name.lower()
+        self._trace_begin(key if index is None else f"{key}:{index}")
         if key == "matrix":
             # A new matrix read opens a new entry (ref: stats.c:315).
             self._ls_counter += 1
@@ -107,6 +132,7 @@ class Stats:
     def annotate_end(self, name: str, index: Optional[int] = None):
         now = time.perf_counter()
         key = name.lower()
+        self._trace_end(key if index is None else f"{key}:{index}")
         if key in _KNOWN_PHASES:
             t0 = self._open.pop(key, None)
             if t0 is None:

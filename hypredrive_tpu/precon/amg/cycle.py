@@ -119,18 +119,24 @@ def _cycle(state: AMGState, lvl: int, b):
                 z, NamedSharding(state.mesh, P(ROWS_AXIS)))
         return z
 
-    x = jnp.zeros_like(b)
-    x = _smooth(level, x, b, level.pre_sweeps, phase="pre",
-                zero_guess=True)
-    r = b - level.A.matvec(x)
-    rc = level.R.matvec(r)
+    # named scopes label the HLO ops so profiler traces group device
+    # time per level/phase (the Caliper-region analogue on TPU; see
+    # scripts/profile_solve.py + scripts/analyze_caliper.py)
+    with jax.named_scope(f"amg_L{lvl}_pre"):
+        x = jnp.zeros_like(b)
+        x = _smooth(level, x, b, level.pre_sweeps, phase="pre",
+                    zero_guess=True)
+        r = b - level.A.matvec(x)
+    with jax.named_scope(f"amg_L{lvl}_restrict"):
+        rc = level.R.matvec(r)
     ec = _cycle(state, lvl + 1, rc)
     if state.cycle_type == 1 and lvl + 1 < len(levels) - 1:
         # W-cycle: second coarse visit
         rc2 = rc - levels[lvl + 1].A.matvec(ec)
         ec = ec + _cycle(state, lvl + 1, rc2)
-    x = x + level.P.matvec(ec)
-    x = _smooth(level, x, b, level.post_sweeps, phase="post")
+    with jax.named_scope(f"amg_L{lvl}_post"):
+        x = x + level.P.matvec(ec)
+        x = _smooth(level, x, b, level.post_sweeps, phase="post")
     return x
 
 

@@ -60,6 +60,30 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     events = load_trace_events(args.trace_dir)
+
+    # annotated regions first: the stats annotator's TraceAnnotation
+    # spans (hypredrv::<phase>) and the AMG cycle's per-level named
+    # scopes — the direct analogue of the reference's Caliper region
+    # report (ref: include/internal/stats.h:47-80)
+    ann_total = collections.Counter()
+    ann_count = collections.Counter()
+    for ev in events:
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        name = ev.get("name", "?")
+        if name.startswith("hypredrv::") or "amg_L" in name:
+            key = name if name.startswith("hypredrv::") else \
+                "amg_L" + name.split("amg_L", 1)[1].split("/")[0]
+            ann_total[key] += ev["dur"]
+            ann_count[key] += 1
+    if ann_total:
+        print("annotated regions (hypredrv phases + amg levels):")
+        print(f"{'region':<42} {'total[ms]':>10} {'count':>8}")
+        print("-" * 62)
+        for name, us in ann_total.most_common():
+            print(f"{name:<42} {us/1e3:>10.2f} {ann_count[name]:>8}")
+        print()
+
     total = collections.Counter()
     counts = collections.Counter()
     for ev in events:

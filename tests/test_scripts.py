@@ -156,3 +156,22 @@ def test_generate_example_output(tmp_path):
     out = (tmp_path / "ex1.txt").read_text()
     assert "STATISTICS SUMMARY" in out
     assert "MASKED" in out          # times normalized away
+
+
+def test_cli_profile_flag_emits_annotated_trace(tmp_path):
+    """--profile DIR captures a trace whose annotated-region report
+    shows the stats phases (the Caliper-region analogue,
+    ref: include/internal/stats.h:47-80)."""
+    tdir = str(tmp_path / "trace")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run(
+        [sys.executable, "-m", "hypredrive_tpu.cli", "--profile", tdir,
+         os.path.join("examples", "ex1.yml")],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "analyze_caliper.py"),
+         tdir], capture_output=True, text=True, cwd=REPO, timeout=300)
+    assert r2.returncode == 0, r2.stderr
+    assert "hypredrv::solve" in r2.stdout
+    assert "hypredrv::prec" in r2.stdout
