@@ -443,6 +443,7 @@ def supports_dist_setup(amg_args) -> bool:
             and int(amg_args.smoother.num_levels) == 0
             and int(csn.num_functions) <= 1
             and int(rlx.points) == 0
+            and int(rlx.order) == 0
             and all(t in kinds for t in rtypes))
 
 

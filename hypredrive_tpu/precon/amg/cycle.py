@@ -73,6 +73,19 @@ def _smooth(level: AMGLevel, x, b, sweeps: int, phase: str = "pre",
                 x = x + _tri_jacobi(d_inv, U,
                                     resid(x, i == 0 and kind == "gs-bwd"))
         return x
+    if kind.startswith("cf-"):
+        # relaxation.order = 1 (hypre BoomerAMGSetRelaxOrder): CF
+        # relaxation — C points first then F on the down sweep, F first
+        # then C on the up sweep, each half-sweep against the refreshed
+        # residual (ref: amg.c:895, hypre par_relax.c CF schedule)
+        d_inv, fmask = arrays
+        cmask = 1.0 - fmask
+        first, second = ((fmask, cmask) if phase == "post"
+                         else (cmask, fmask))
+        for k in range(sweeps):
+            x = x + first * d_inv * resid(x, k == 0)
+            x = x + second * d_inv * resid(x, False)
+        return x
     if kind.startswith("air-"):
         d_inv, fmask = arrays
         for k in range(sweeps):

@@ -173,10 +173,12 @@ def _smoother_arrays(kind: str, A_host: sp.csr_matrix, E: EllMatrix,
                      cheby_args=None, weight: float = 1.0,
                      fmask: Optional[np.ndarray] = None) -> Tuple:
     dtype = E.dtype
-    if kind.startswith("air-"):
-        # F/C-masked Jacobi (ref grid_relax_points schedule): base diag
-        # scaling + a {0,1} F-point mask consumed by the cycle
-        base = _smoother_arrays(kind[4:], A_host, E, cheby_args, weight)
+    if kind.startswith("air-") or kind.startswith("cf-"):
+        # F/C-masked Jacobi (ref grid_relax_points schedule / CF relax
+        # order): base diag scaling + a {0,1} F-point mask consumed by
+        # the cycle
+        base = _smoother_arrays(kind.split("-", 1)[1], A_host, E,
+                                cheby_args, weight)
         if fmask is None:
             fmask = np.ones(A_host.shape[0])
         return base + (jnp.asarray(fmask, dtype),)
@@ -424,6 +426,16 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
         if up_kind not in ("chebyshev",):
             up_kind = "air-" + ("jacobi" if up_kind == "jacobi"
                                 else "l1-jacobi")
+    elif int(rlx.order) == 1:
+        # relaxation.order = 1 → CF relaxation (hypre
+        # BoomerAMGSetRelaxOrder, ref amg.c:895): point-wise smoothers
+        # run C-then-F on the down sweep and F-then-C on the up sweep.
+        # Chebyshev/GS keep their own schedule (hypre likewise applies
+        # relax order only to the pointwise relaxations).
+        if kind in ("jacobi", "l1-jacobi"):
+            kind = "cf-" + kind
+        if up_kind in ("jacobi", "l1-jacobi"):
+            up_kind = "cf-" + up_kind
 
     levels: List[AMGLevel] = []
     A_l = sp.csr_matrix(A_host)
@@ -498,7 +510,8 @@ def _setup_hierarchy_impl(A_host, amg_args, dtype, dof_func,
         R = R_air if R_air is not None else sp.csr_matrix(P.T)
         A_c = _galerkin_rap(A_l, P, R, R_air is not None)
         fmask = (cf < 0).astype(np.float64) \
-            if (kind.startswith("air-") or up_kind.startswith("air-")) \
+            if (kind.startswith(("air-", "cf-"))
+                or up_kind.startswith(("air-", "cf-"))) \
             else None
         # shape-stability bucket (both paths — under a mesh the padded
         # size additionally keeps DistEllMatrix's shard-uniform padding

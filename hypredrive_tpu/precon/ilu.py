@@ -217,10 +217,32 @@ def _build_schur_state(A_host: sp.csr_matrix, args, dtype,
 
 
 def _factor_to_state(A_host: sp.csr_matrix, args, dtype):
-    """(L, U, dinvs, iters) tri-solve state for one ILU factorization."""
+    """(L, U, dinvs, iters) tri-solve state for one ILU factorization.
+
+    ``reordering: 1`` applies RCM (the hypre ILU local-reordering
+    option, ref: include/internal/ilu.h:19-34) before factoring.  The
+    factors are then similarity-permuted BACK to the original numbering
+    (Pᵀ L P / Pᵀ U P): they are no longer triangular, but the Jacobi-
+    iterated tri-solve only needs nilpotency of the off-diagonal part,
+    which a permuted strictly-triangular matrix keeps ((PᵀLP)ᵏ =
+    PᵀLᵏP) — so the apply path is unchanged and pays zero gather cost
+    on device."""
     itype = int(args.get("type", 0))
     fill = int(args.get("fill_level", 0))
     droptol = float(args.get("droptol", 1e-2))
+    reorder = int(args.get("reordering", 0))
+    perm = None
+    if reorder == 1 and A_host.shape[0] > 1:
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        perm = np.asarray(reverse_cuthill_mckee(
+            sp.csr_matrix(A_host), symmetric_mode=False))
+        A_host = sp.csr_matrix(A_host[perm][:, perm])
+        A_host.sort_indices()
+    elif reorder not in (0, 1):
+        raise HypredrvError(
+            f"ilu.reordering {reorder} not supported (0=none, 1=RCM)",
+            ErrorCode.INVALID_ARG)
     if itype in (1, 11, 21, 31, 41) or fill > 0:
         import scipy.sparse.linalg as spla
 
@@ -234,11 +256,22 @@ def _factor_to_state(A_host: sp.csr_matrix, args, dtype):
     else:
         L, U = ilu0_factor(A_host)
     u_diag = U.diagonal()
+    Ls = sp.csr_matrix(sp.tril(L, k=-1))
+    Us = sp.csr_matrix(U)
+    if perm is not None:
+        # similarity-permute back to the original row numbering
+        n = A_host.shape[0]
+        iperm = np.empty(n, np.int64)
+        iperm[perm] = np.arange(n)
+        Q = sp.csr_matrix((np.ones(n), (perm, np.arange(n))), shape=(n, n))
+        Ls = sp.csr_matrix(Q @ Ls @ Q.T)
+        Us = sp.csr_matrix(Q @ Us @ Q.T)
+        u_diag = u_diag[iperm]
+        Ls.sort_indices()
+        Us.sort_indices()
     u_dinv = jnp.asarray(
         np.where(u_diag != 0, 1.0 / u_diag, 1.0), dtype=dtype)
     l_dinv = jnp.ones(A_host.shape[0], dtype=dtype)
-    Ls = sp.csr_matrix(sp.tril(L, k=-1))
-    Us = sp.csr_matrix(U)
     tri_solve = bool(args.get("tri_solve", True))
     l_iters = int(args.get("lower_jac_iters", 5))
     u_iters = int(args.get("upper_jac_iters", 5))

@@ -272,3 +272,98 @@ def test_nsh_ilu_real_not_aliased():
     it_bj = iters_with(bj)
     assert it_nsh <= it_bj, (it_nsh, it_bj)
     assert it_nsh < 60
+
+
+def test_ilu_rcm_reordering_is_real():
+    """ilu.reordering: 1 applies RCM before factoring; the similarity-
+    permuted factors still solve and the factorization differs from the
+    unreordered one (no validated no-op; ref: include/internal/
+    ilu.h:19-34 reordering)."""
+    import scipy.sparse as sp
+
+    from hypredrive_tpu.precon.ilu import _factor_to_state
+
+    rng = np.random.default_rng(5)
+    # scrambled banded SPD matrix: natural order is bad, RCM recovers it
+    n = 120
+    band = sp.diags([np.full(n - 1, -1.0), np.full(n, 4.0),
+                     np.full(n - 1, -1.0)], [-1, 0, 1]).tocsr()
+    perm = rng.permutation(n)
+    Q = sp.csr_matrix((np.ones(n), (perm, np.arange(n))), shape=(n, n))
+    A = sp.csr_matrix(Q @ band @ Q.T)
+
+    from hypredrive_tpu.precon.ilu import _tri_jacobi_apply
+    from hypredrive_tpu.config.sections import ILU_SCHEMA
+
+    r = rng.standard_normal(n)
+    outs = {}
+    for reorder in (0, 1):
+        args = ILU_SCHEMA.defaults()
+        args["reordering"] = reorder
+        args["tri_solve"] = True
+        st = _factor_to_state(A, args, jnp.float64)
+        z = np.asarray(_tri_jacobi_apply(st, jnp.asarray(r)))
+        outs[reorder] = np.linalg.norm(A @ z - r) / np.linalg.norm(r)
+    # in RCM order the scrambled band is tridiagonal → ILU(0) is exact
+    # (up to the Jacobi tri-solve sweeps); natural-order ILU(0) on the
+    # scrambled pattern is not
+    assert outs[1] < 1e-5
+    assert outs[0] > 100 * max(outs[1], 1e-14)
+    # unsupported values are rejected, not accepted as no-ops
+    from hypredrive_tpu.core.errors import HypredrvError
+
+    args = ILU_SCHEMA.defaults()
+    args["reordering"] = 7
+    with pytest.raises(HypredrvError, match="reordering"):
+        _factor_to_state(A, args, jnp.float64)
+
+
+def test_schwarz_local_solver_types_differ():
+    """schwarz.local_solver_type iluk/ilut use approximate local
+    factors — a genuinely different (weaker) local solve than spdirect
+    (ref: include/internal/schwarz.h:18-34)."""
+    res_sd, rel_sd = _solve({"schwarz": {"variant": "ras-spdirect",
+                                         "overlap": 1}}, solver="gmres")
+    res_k, rel_k = _solve({"schwarz": {"variant": "ras-iluk",
+                                       "overlap": 1}}, solver="gmres")
+    res_t, rel_t = _solve({"schwarz": {"variant": "ras-ilut",
+                                       "ilut_droptol": 0.2,
+                                       "overlap": 1}}, solver="gmres")
+    assert res_sd.converged and res_k.converged and res_t.converged
+    assert rel_sd < 1e-7 and rel_k < 1e-7 and rel_t < 1e-7
+    # exact local inverses are at least as strong as ILU(0) locals,
+    # and an aggressive droptol ILUT is strictly weaker than spdirect
+    assert res_sd.iters <= res_k.iters
+    assert res_sd.iters < res_t.iters
+
+
+def test_amg_relax_order_cf_is_real():
+    """relaxation.order: 1 runs CF-ordered pointwise relaxation — the
+    smoother kind changes and the iteration trajectory differs from
+    lexicographic order (ref: amg.c:895 BoomerAMGSetRelaxOrder)."""
+    from hypredrive_tpu.precon.amg.hierarchy import setup_hierarchy
+    from hypredrive_tpu.config.sections import AMG_SCHEMA
+    import jax.numpy as jnp
+
+    A = laplacian_3d_7pt(8)
+    args0 = AMG_SCHEMA.defaults()
+    args0["relaxation"]["down_type"] = 18      # l1-jacobi
+    args0["relaxation"]["up_type"] = 18
+    s0 = setup_hierarchy(A, args0, dtype=jnp.float64)
+    args1 = AMG_SCHEMA.defaults()
+    args1["relaxation"]["down_type"] = 18
+    args1["relaxation"]["up_type"] = 18
+    args1["relaxation"]["order"] = 1
+    s1 = setup_hierarchy(A, args1, dtype=jnp.float64)
+    assert s0.levels[0].smoother == "l1-jacobi"
+    assert s1.levels[0].smoother == "cf-l1-jacobi"
+
+    from hypredrive_tpu.precon.amg.cycle import amg_apply
+
+    r = jnp.asarray(np.random.default_rng(0).standard_normal(A.shape[0]))
+    z0 = np.asarray(amg_apply(s0, r))
+    z1 = np.asarray(amg_apply(s1, r))
+    # both contract the error, but along different trajectories
+    assert not np.allclose(z0, z1)
+    x = np.linalg.solve(A.toarray(), np.asarray(r))
+    assert np.linalg.norm(z1 - x) < np.linalg.norm(np.asarray(r))
