@@ -426,10 +426,12 @@ def _l1_of_parts(A_parts) -> np.ndarray:
 
 def supports_dist_setup(amg_args) -> bool:
     """Config subset with a distributed setup path: PMIS/HMIS coarsening,
-    direct/ext+i/one-point interpolation, Galerkin Pᵀ restriction, no
-    aggressive levels / RBMs / per-level FSAI smoother / multi-function
-    dofs.  Everything else falls back to the host-global setup (the
-    solve side is distributed either way)."""
+    direct/ext+i/one-point interpolation, Galerkin Pᵀ or AIR
+    restriction, aggressive (two-stage) coarsening, multi-function dofs
+    (dof_func threaded through strength/interp).  Still outside the
+    subset: RBMs, per-level FSAI smoothers, CF relax order.  Everything
+    else falls back to the host-global setup (the solve side is
+    distributed either way)."""
     csn = amg_args.coarsening
     itp = amg_args.interpolation
     rlx = amg_args.relaxation
@@ -437,23 +439,121 @@ def supports_dist_setup(amg_args) -> bool:
     rtypes = [int(rlx.type)] if int(rlx.type) >= 0 else \
         [int(rlx.down_type), int(rlx.up_type)]
     return (int(csn.type) in (8, 10)
-            and int(itp.restriction_type) == 0
+            and int(itp.restriction_type) in (0, 1, 2, 3, 4, 5, 15)
             and int(itp.prolongation_type) in (3, 6, 8, 100)
-            and int(amg_args.aggressive.num_levels) == 0
             and int(amg_args.smoother.num_levels) == 0
-            and int(csn.num_functions) <= 1
-            and int(rlx.points) == 0
+            and int(rlx.points) in (0, 1)
             and int(rlx.order) == 0
             and all(t in kinds for t in rtypes))
 
 
+def build_R_dist(A_parts, offsets, cf_parts, c_offsets,
+                 restriction_type: int, strong_th: float,
+                 filter_th: float) -> List[sp.csr_matrix]:
+    """Per-shard AIR restriction rows (owner-contiguous coarse order).
+
+    Each shard builds the R rows of its OWN C points from the same
+    compressed 2-ring subproblem build_P_dist uses — lAIR/Neumann
+    stencils reach distance ≤ 2, which the own+ring row set covers
+    (ref: hypre par_restr.c decomposition)."""
+    from ..precon.amg.air import build_restriction
+
+    n_sh = len(A_parts)
+    cf_global = np.concatenate(cf_parts)
+    n_glob = int(offsets[-1])
+    R_parts = []
+    for s in range(n_sh):
+        lo, hi = int(offsets[s]), int(offsets[s + 1])
+        A_s = A_parts[s]
+        own_rows = np.arange(lo, hi, dtype=np.int64)
+        ring1 = np.unique(A_s.indices.astype(np.int64))
+        ring1 = ring1[(ring1 < lo) | (ring1 >= hi)]
+        A_r1 = _fetch_rows(A_parts, offsets, ring1)
+        # lAIR distance-2 / Neumann stencils read the A rows of F points
+        # up to two hops from the C point — fetch the second ring too
+        ring2 = np.unique(A_r1.indices.astype(np.int64))
+        ring2 = np.setdiff1d(ring2, np.concatenate([own_rows, ring1]),
+                             assume_unique=False)
+        ring = np.concatenate([ring1, ring2])
+        ext_rows = np.concatenate([own_rows, ring])
+        A_ext = sp.csr_matrix(sp.vstack([
+            A_s, A_r1, _fetch_rows(A_parts, offsets, ring2)]))
+        union = np.unique(np.concatenate([
+            ext_rows, A_ext.indices.astype(np.int64)]))
+        pos_rows = np.searchsorted(union, ext_rows)
+        nU = len(union)
+        ind = np.searchsorted(union, A_ext.indices.astype(np.int64))
+        rows_local = np.repeat(pos_rows, np.diff(A_ext.indptr))
+        A_sq = sp.csr_matrix((A_ext.data, (rows_local, ind)),
+                             shape=(nU, nU))
+        cf_ext = cf_global[union]
+        R_sq = build_restriction(A_sq, cf_ext, restriction_type,
+                                 strong_th, filter_th)
+        if R_sq is None:
+            raise ValueError("build_R_dist called with p_transpose type")
+        # R_sq rows are ranks within union-C; keep rows whose C point is
+        # OWNED by this shard, remap rows to global coarse ids and
+        # columns back to global fine ids
+        C_union = union[cf_ext > 0]
+        own_c = (C_union >= lo) & (C_union < hi)
+        R_own = sp.csr_matrix(R_sq[np.flatnonzero(own_c)])
+        R_own = sp.csr_matrix(
+            (R_own.data, union[R_own.indices], R_own.indptr),
+            shape=(R_own.shape[0], n_glob))
+        R_own.sort_indices()
+        R_parts.append(R_own)
+    return R_parts
+
+
+def rap_petrov_dist(A_parts, P_parts, R_parts, offsets,
+                    c_offsets) -> List[sp.csr_matrix]:
+    """A_c = R·A·P with an explicit (AIR) restriction: shard s computes
+    X_s = A_s·P, then each coarse owner t contracts its R rows against
+    the X rows it touches (same boundary exchange as rap_dist)."""
+    n_sh = len(A_parts)
+    nC = int(c_offsets[-1])
+    n_glob = int(offsets[-1])
+    X_parts = []
+    for s in range(n_sh):
+        A_s = A_parts[s]
+        need = np.unique(A_s.indices.astype(np.int64))
+        P_need = _fetch_rows(P_parts, offsets, need)
+        indptr = np.zeros(n_glob + 1, np.int64)
+        cnt = np.zeros(n_glob, np.int64)
+        cnt[need] = np.diff(P_need.indptr)
+        np.cumsum(cnt, out=indptr[1:])
+        P_glob = sp.csr_matrix((P_need.data, P_need.indices, indptr),
+                               shape=(n_glob, nC))
+        X_parts.append(sp.csr_matrix(A_s @ P_glob))
+    Ac_parts = []
+    for t in range(n_sh):
+        R_t = R_parts[t]
+        need = np.unique(R_t.indices.astype(np.int64))
+        X_need = _fetch_rows(X_parts, offsets, need)
+        indptr = np.zeros(n_glob + 1, np.int64)
+        cnt = np.zeros(n_glob, np.int64)
+        cnt[need] = np.diff(X_need.indptr)
+        np.cumsum(cnt, out=indptr[1:])
+        X_glob = sp.csr_matrix((X_need.data, X_need.indices, indptr),
+                               shape=(n_glob, nC))
+        Ac_t = sp.csr_matrix(R_t @ X_glob)
+        Ac_t.sort_indices()
+        Ac_parts.append(Ac_t)
+    return Ac_parts
+
+
 def setup_hierarchy_dist(A_parts: Sequence[sp.csr_matrix], amg_args,
-                         mesh, dtype=None):
+                         mesh, dtype=None, dof_func=None):
     """Distributed twin of hierarchy.setup_hierarchy: consumes per-shard
     row blocks (global columns) and returns an AMGState whose levels are
     row-sharded DistEllMatrix operators — no global matrix is ever
     assembled (ref: hypre ParCSR BoomerAMGSetup decomposition,
-    SURVEY §2.9)."""
+    SURVEY §2.9).
+
+    Round-5 widening: ``dof_func`` (num_functions > 1 — strength and
+    interpolation stay within a function), aggressive (two-stage)
+    coarsening on the first ``aggressive.num_levels`` levels, and AIR
+    restriction with the F/C relax schedule."""
     import jax.numpy as jnp
     from ..precon.amg.hierarchy import (AMGLevel, AMGState,
                                         _pad_smoother_arrays)
@@ -479,12 +579,19 @@ def setup_hierarchy_dist(A_parts: Sequence[sp.csr_matrix], amg_args,
     max_levels = int(csn.max_levels)
     max_coarse = max(1, int(csn.max_coarse_size))
     min_coarse = int(csn.min_coarse_size)
+    agg_levels = int(amg_args.aggressive.num_levels)
+    restriction_type = int(itp.restriction_type)
+    restrict_th = float(itp.restrict_strong_th)
+    restrict_filter = float(itp.restrict_filter_th)
     if int(rlx.type) >= 0:
         kind_code = int(rlx.type)
     else:
         kind_code = int(rlx.down_type)
     kind = {0: "jacobi", 7: "jacobi", 18: "l1-jacobi",
             16: "chebyshev"}.get(kind_code, "l1-jacobi")
+    air_points = int(rlx.points) == 1
+    if air_points and kind != "chebyshev":
+        kind = "air-" + ("jacobi" if kind == "jacobi" else "l1-jacobi")
     num_sweeps = max(1, int(rlx.num_sweeps))
     pre = int(rlx.down_sweeps) if int(rlx.down_sweeps) >= 0 else num_sweeps
     post = int(rlx.up_sweeps) if int(rlx.up_sweeps) >= 0 else num_sweeps
@@ -498,8 +605,12 @@ def setup_hierarchy_dist(A_parts: Sequence[sp.csr_matrix], amg_args,
     A_parts = repartition_rows(A_parts, off_in, new_off, n_rows_pad=n0_pad)
     off = new_off
     n_real = n0
+    func_l = None
+    if dof_func is not None and int(csn.num_functions) > 1:
+        func_l = np.full(n0_pad, -1, dtype=np.int64)
+        func_l[:n0] = np.asarray(dof_func)
 
-    def smoother_arrays(A_parts, off, n_pad):
+    def smoother_arrays(A_parts, off, n_pad, fmask=None):
         if kind == "chebyshev":
             order = int(rlx.chebyshev.get("order", 2)) \
                 if rlx.chebyshev else 2
@@ -523,38 +634,110 @@ def setup_hierarchy_dist(A_parts: Sequence[sp.csr_matrix], amg_args,
                 float(lam) * 1.1, fraction, order)
             return (jnp.asarray(d_inv, dtype), jnp.asarray(theta_c, dtype),
                     jnp.asarray(delta, dtype), jnp.asarray(rhos, dtype))
-        if kind == "jacobi":
+        if kind.endswith("jacobi") and not kind.endswith("l1-jacobi"):
             diag = _diag_of_parts(A_parts, off)
             d = np.where(diag != 0, weight / diag, 1.0)
-            return (jnp.asarray(d, dtype),)
-        l1 = _l1_of_parts(A_parts)
-        d = np.where(l1 != 0, weight / l1, 1.0)
-        return (jnp.asarray(d, dtype),)
+            base = (jnp.asarray(d, dtype),)
+        else:
+            l1 = _l1_of_parts(A_parts)
+            d = np.where(l1 != 0, weight / l1, 1.0)
+            base = (jnp.asarray(d, dtype),)
+        if kind.startswith("air-"):
+            if fmask is None:
+                fmask = np.ones(n_pad)
+            base = base + (jnp.asarray(fmask, dtype),)
+        return base
+
+    def one_stage(A_parts, off, seed, func):
+        """strength → PMIS/HMIS → P; returns (S_parts, cf_parts,
+        P_parts, c_off_owner) or None when coarsening degenerates."""
+        S_parts = [strength_graph(A_parts[s], theta=theta, sabs=sabs,
+                                  dof_func=func, row_offset=int(off[s]))
+                   for s in range(n_sh)]
+        if sum(S.nnz for S in S_parts) == 0:
+            return None
+        if int(csn.type) == 10:
+            cf_parts = hmis_dist(S_parts, off, seed=seed)
+        else:
+            cf_parts = pmis_dist(S_parts, off, seed=seed)
+        nC = int(sum((cf > 0).sum() for cf in cf_parts))
+        if nC == 0:
+            return None
+        P_parts, c_off_owner = build_P_dist(
+            A_parts, S_parts, off, cf_parts,
+            prolongation_type=int(itp.prolongation_type),
+            trunc_factor=float(itp.trunc_factor),
+            max_nnz_row=int(itp.max_nnz_row))
+        return S_parts, cf_parts, P_parts, c_off_owner
 
     levels = []
     for lvl in range(max_levels - 1):
         if n_real <= max_coarse or (min_coarse and n_real <= min_coarse):
             break
         n_pad = int(off[-1])
-        S_parts = [strength_graph(A_parts[s], theta=theta, sabs=sabs,
-                                  row_offset=int(off[s]))
-                   for s in range(n_sh)]
-        if sum(S.nnz for S in S_parts) == 0:
-            break
         seed = lvl + int(getattr(csn, "rand_seed", 0))
-        if int(csn.type) == 10:
-            cf_parts = hmis_dist(S_parts, off, seed=seed)
-        else:
-            cf_parts = pmis_dist(S_parts, off, seed=seed)
-        nC = int(sum((cf > 0).sum() for cf in cf_parts))
-        if nC == 0 or nC >= n_real:
+        stage = one_stage(A_parts, off, seed, func_l)
+        if stage is None:
             break
-        P_parts, c_off_owner = build_P_dist(
-            A_parts, S_parts, off, cf_parts,
-            prolongation_type=int(itp.prolongation_type),
-            trunc_factor=float(itp.trunc_factor),
-            max_nnz_row=int(itp.max_nnz_row))
-        Ac_owner = rap_dist(A_parts, P_parts, off, c_off_owner)
+        S_parts, cf_parts, P_parts, c_off_owner = stage
+        nC = int(c_off_owner[-1])
+        if nC >= n_real:
+            break
+        cf_global = np.concatenate(cf_parts)
+        func_c = func_l[cf_global > 0] if func_l is not None else None
+
+        if lvl < agg_levels:
+            # aggressive (two-stage) coarsening: PMIS → P₁ → Galerkin
+            # A₁ → PMIS → P₂, fused P = P₁·P₂ — the same matrix-matrix
+            # formulation as the host path (hierarchy.
+            # _aggressive_interpolation), built from the dist primitives
+            A1_owner = rap_dist(A_parts, P_parts, off, c_off_owner)
+            stage2 = one_stage(A1_owner, c_off_owner, 1000 + seed, func_c)
+            if stage2 is not None:
+                _, cf2_parts, P2_parts, c2_off_owner = stage2
+                nC2 = int(c2_off_owner[-1])
+                if 0 < nC2 < nC:
+                    # fuse P = P1 @ P2 per fine shard
+                    n1 = int(c_off_owner[-1])
+                    fused = []
+                    for s in range(n_sh):
+                        P1_s = P_parts[s]
+                        need = np.unique(P1_s.indices.astype(np.int64))
+                        P2_need = _fetch_rows(P2_parts, c_off_owner, need)
+                        indptr = np.zeros(n1 + 1, np.int64)
+                        cnt = np.zeros(n1, np.int64)
+                        cnt[need] = np.diff(P2_need.indptr)
+                        np.cumsum(cnt, out=indptr[1:])
+                        P2_glob = sp.csr_matrix(
+                            (P2_need.data, P2_need.indices, indptr),
+                            shape=(n1, nC2))
+                        Pf = sp.csr_matrix(P1_s @ P2_glob)
+                        Pf.sort_indices()
+                        fused.append(Pf)
+                    P_parts = fused
+                    c_off_owner = c2_off_owner
+                    nC = nC2
+                    # combined CF marks: stage-1 C demoted where stage-2
+                    # marked F
+                    cf2_global = np.concatenate(cf2_parts)
+                    c1_ids = np.flatnonzero(cf_global > 0)
+                    cf_global = cf_global.copy()
+                    cf_global[c1_ids[cf2_global < 0]] = -1
+                    func_c = func_c[cf2_global > 0] \
+                        if func_c is not None else None
+
+        R_air_owner = None
+        if restriction_type != 0:
+            cf_parts_now = [
+                cf_global[int(off[s]):int(off[s + 1])]
+                for s in range(n_sh)]
+            R_air_owner = build_R_dist(
+                A_parts, off, cf_parts_now, c_off_owner,
+                restriction_type, restrict_th, restrict_filter)
+            Ac_owner = rap_petrov_dist(A_parts, P_parts, R_air_owner,
+                                       off, c_off_owner)
+        else:
+            Ac_owner = rap_dist(A_parts, P_parts, off, c_off_owner)
 
         npad_c = _bucket_pad(nC, n_sh)
         c_off_new = row_partition(npad_c, n_sh)
@@ -566,12 +749,21 @@ def setup_hierarchy_dist(A_parts: Sequence[sp.csr_matrix], amg_args,
             P_s = P_s.copy()
             P_s.resize((P_s.shape[0], npad_c))
             P_padded.append(sp.csr_matrix(P_s))
-        # R = Pᵀ rows partitioned by the NEW coarse layout (pad rows of
-        # R are exactly zero — cf. hierarchy._pad_level)
-        R_parts = transpose_parts(P_padded, off, c_off_new)
+        if R_air_owner is not None:
+            # AIR R rows re-blocked to the new padded coarse layout
+            # (pad rows are exact zeros — the padded coarse values they
+            # produce multiply P's zero pad columns)
+            R_parts = repartition_rows(R_air_owner, c_off_owner,
+                                       c_off_new, pad_identity=False)
+        else:
+            # R = Pᵀ rows partitioned by the NEW coarse layout (pad rows
+            # of R are exactly zero — cf. hierarchy._pad_level)
+            R_parts = transpose_parts(P_padded, off, c_off_new)
 
+        fmask = (cf_global < 0).astype(np.float64) \
+            if kind.startswith("air-") else None
         sm = _pad_smoother_arrays(
-            smoother_arrays(A_parts, off, n_pad), n_pad, mesh)
+            smoother_arrays(A_parts, off, n_pad, fmask), n_pad, mesh)
         levels.append(AMGLevel(
             A=DistEllMatrix.from_parts(A_parts, mesh, n_pad, dtype=dtype),
             P=DistEllMatrix.from_parts(P_padded, mesh, npad_c, dtype=dtype),
@@ -582,6 +774,9 @@ def setup_hierarchy_dist(A_parts: Sequence[sp.csr_matrix], amg_args,
         A_parts = Ac_parts
         off = c_off_new
         n_real = nC
+        if func_c is not None:
+            func_l = np.full(npad_c, -1, dtype=np.int64)
+            func_l[:nC] = func_c
         if nC <= max_coarse:
             break
 

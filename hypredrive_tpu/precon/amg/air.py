@@ -118,9 +118,11 @@ def lair_restriction(A: sp.csr_matrix, cf: np.ndarray,
         try:
             z = np.linalg.solve(Tt, rhs[..., None])[..., 0]
         except np.linalg.LinAlgError:
-            z = np.linalg.lstsq(
-                Tt.reshape(-1, m), rhs.reshape(-1, 1), rcond=None
-            )[0].reshape(len(grp), m)  # pragma: no cover - singular stencil
+            # singular stencil(s) in the batch: least-squares per row
+            # (a single merged lstsq would wrongly couple the rows)
+            z = np.empty((len(grp), m))
+            for g in range(len(grp)):
+                z[g] = np.linalg.lstsq(Tt[g], rhs[g], rcond=None)[0]
         z = np.where(np.isfinite(z), z, 0.0)
         idx = (starts[:, None] + np.arange(m)[None, :]).ravel()
         z_data[idx] = z.ravel()

@@ -312,10 +312,9 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
 
         if mesh is None:
             raise ValueError("per-shard matrix parts require a mesh")
-        if supports_dist_setup(amg_args) and dof_func is None \
-                and interp_vectors is None:
+        if supports_dist_setup(amg_args) and interp_vectors is None:
             return setup_hierarchy_dist(A_host, amg_args, mesh,
-                                        dtype=dtype)
+                                        dtype=dtype, dof_func=dof_func)
         from ...core.logging import logger
 
         logger.warn("AMG config outside the distributed-setup subset; "
@@ -327,14 +326,13 @@ def setup_hierarchy(A_host: sp.csr_matrix, amg_args, dtype=jnp.float64,
                                             split_rows,
                                             supports_dist_setup)
 
-        if supports_dist_setup(amg_args) and dof_func is None \
-                and interp_vectors is None:
+        if supports_dist_setup(amg_args) and interp_vectors is None:
             # run the distributed setup even from a host-global matrix:
             # one code path for the mesh hierarchy (split is the I/O
             # layer's job in a true multi-host run)
             return setup_hierarchy_dist(
                 split_rows(sp.csr_matrix(A_host), int(mesh.devices.size)),
-                amg_args, mesh, dtype=dtype)
+                amg_args, mesh, dtype=dtype, dof_func=dof_func)
     if mesh is None and jax.default_backend() not in ("cpu",):
         try:
             cpu0 = jax.devices("cpu")[0]

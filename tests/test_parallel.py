@@ -4,6 +4,7 @@ we simulate multi-chip with xla_force_host_platform_device_count."""
 
 import numpy as np
 import pytest
+import scipy.sparse as sp
 import jax
 import jax.numpy as jnp
 
@@ -375,3 +376,111 @@ def test_dist_bj_ilu_bicgstab(mesh):
     x = np.asarray(out[0])[:n]
     assert int(out[1]) < 50
     assert np.linalg.norm(np.ones(n) - A @ x) / np.sqrt(n) < 1e-5
+
+
+def _dist_vs_host_iters(mesh, A, args, dof_func=None, solver="pcg",
+                        rtol=1e-8):
+    """Helper: iteration counts of the dist-setup vs host-global AMG
+    hierarchy on the same system."""
+    from hypredrive_tpu.parallel import dist_setup as ds
+    from hypredrive_tpu.parallel.dist_matrix import pad_vector
+    from hypredrive_tpu.precon.amg.hierarchy import setup_hierarchy
+    from hypredrive_tpu.precon.amg.cycle import amg_apply
+    from hypredrive_tpu.solvers.pcg import _pcg_core
+    from hypredrive_tpu.solvers.gmres import _gmres_core
+
+    n = A.shape[0]
+    parts = ds.split_rows(A, 8)
+    assert ds.supports_dist_setup(args), "config must be in the subset"
+    state_d = setup_hierarchy(parts, args, dtype=jnp.float64, mesh=mesh,
+                              dof_func=dof_func)
+    assert state_d.mesh is mesh
+    D0 = state_d.levels[0].A
+    b = pad_vector(np.ones(n), D0.shape[0], mesh)
+    x0 = pad_vector(np.zeros(n), D0.shape[0], mesh)
+
+    def core(mv, pc, bb, xx):
+        if solver == "gmres":
+            return _gmres_core(mv, pc, bb, xx, jnp.asarray(rtol),
+                               jnp.asarray(0.0), 100, 30, False)
+        return _pcg_core(mv, pc, bb, xx, jnp.asarray(rtol),
+                         jnp.asarray(0.0), 100, True, 0)
+
+    @jax.jit
+    def solve_d(D, s, bb, xx):
+        return core(lambda v: D.matvec(v), lambda r: amg_apply(s, r),
+                    bb, xx)
+
+    it_d = int(solve_d(D0, state_d, b, x0)[1])
+
+    state_h = setup_hierarchy(A, args, dtype=jnp.float64,
+                              dof_func=dof_func)
+    Ah = state_h.levels[0].A
+
+    @jax.jit
+    def solve_h(Ah, s, bb, xx):
+        return core(lambda v: Ah.matvec(v), lambda r: amg_apply(s, r),
+                    bb, xx)
+
+    it_h = int(solve_h(Ah, state_h, jnp.ones(n), jnp.zeros(n))[1])
+    return it_d, it_h
+
+
+def test_dist_setup_num_functions_multiphysics(mesh):
+    """Round-5 widening: num_functions > 1 runs the dist path — dof_func
+    threads through per-shard strength so cross-function couplings never
+    enter S; iterations match host-global (ref: hypre dof_func in
+    ParCSR BoomerAMGSetup)."""
+    from hypredrive_tpu.ops.csr import multiphysics_block_system
+    from hypredrive_tpu.config.sections import AMG_SCHEMA
+
+    A, dofmap = multiphysics_block_system(6, ndof=2)
+    args = AMG_SCHEMA.defaults()
+    args["coarsening"]["num_functions"] = 2
+    it_d, it_h = _dist_vs_host_iters(mesh, sp.csr_matrix(A), args,
+                                     dof_func=np.asarray(dofmap),
+                                     solver="gmres", rtol=1e-8)
+    assert abs(it_d - it_h) <= 1
+    assert it_d < 60
+
+
+def test_dist_setup_aggressive_coarsening(mesh):
+    """Aggressive (two-stage) coarsening on the dist path: coarser
+    second level than standard PMIS, iteration parity with the
+    host-global aggressive setup."""
+    from hypredrive_tpu.ops.csr import laplacian_3d_7pt
+    from hypredrive_tpu.config.sections import AMG_SCHEMA
+    from hypredrive_tpu.parallel import dist_setup as ds
+    from hypredrive_tpu.precon.amg.hierarchy import setup_hierarchy
+
+    A = laplacian_3d_7pt(12, dtype=np.float64)
+    args = AMG_SCHEMA.defaults()
+    args["aggressive"]["num_levels"] = 1
+    it_d, it_h = _dist_vs_host_iters(mesh, A, args)
+    assert abs(it_d - it_h) <= 2
+    assert it_d < 30
+    # aggressive really engaged: level-1 size is smaller than the
+    # standard-coarsening hierarchy's
+    parts = ds.split_rows(A, 8)
+    s_agg = setup_hierarchy(parts, args, dtype=jnp.float64, mesh=mesh)
+    args0 = AMG_SCHEMA.defaults()
+    s_std = setup_hierarchy(parts, args0, dtype=jnp.float64, mesh=mesh)
+    assert s_agg.levels[1].A.shape[0] < s_std.levels[1].A.shape[0]
+
+
+def test_dist_setup_air_restriction(mesh):
+    """AIR restriction (lAIR distance-1) + the F/C relax schedule run
+    the dist path with iteration parity vs host-global (ref: hypre
+    par_restr.c decomposition)."""
+    from hypredrive_tpu.ops.csr import convection_diffusion_2d
+    from hypredrive_tpu.config.sections import AMG_SCHEMA
+
+    A = sp.csr_matrix(convection_diffusion_2d(16, velocity=(4.0, 2.0)))
+    args = AMG_SCHEMA.defaults()
+    args["interpolation"]["prolongation_type"] = 100   # one-point (AIR pairing)
+    args["interpolation"]["restriction_type"] = 1      # lAIR distance 1
+    args["relaxation"]["points"] = 1                   # F/C schedule
+    it_d, it_h = _dist_vs_host_iters(mesh, A, args, solver="gmres",
+                                     rtol=1e-8)
+    assert abs(it_d - it_h) <= 2
+    assert it_d < 60
