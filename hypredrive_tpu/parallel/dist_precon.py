@@ -83,10 +83,12 @@ def setup_mgr_dist(A_parts: Sequence[sp.csr_matrix], args,
     n_levels = int(args.get("num_levels", -1))
     if n_levels > 0:
         keys = keys[:n_levels]
-    # Distributed-MGR subset guard (mirrors supports_dist_setup): the
-    # masked-Jacobi F-relax covers the diagonal families; anything else
-    # must not silently solve differently on a mesh vs host.
-    _DIST_F_RELAX = {"none", "single", "jacobi", "l1-jacobi", "v(1,0)"}
+    # Distributed-MGR subset (mirrors supports_dist_setup):
+    # diagonal families run as masked Jacobi; AMG and ILU F-relax run
+    # as full-space embeddings (A_ff ⊕ I — zero gather/scatter, see
+    # mgr._f_relax masked-amg).  Anything else must not silently solve
+    # differently on a mesh vs host.
+    _DIST_F_JACOBI = {"none", "single", "jacobi", "l1-jacobi", "v(1,0)"}
     level_cfgs = []
     for key in keys:
         errors: List[str] = []
@@ -94,10 +96,22 @@ def setup_mgr_dist(A_parts: Sequence[sp.csr_matrix], args,
                                         f"mgr:level:{key}", errors)
         f_rlx = parsed.f_relaxation
         g_rlx = parsed.g_relaxation
-        f_name = f_rlx if isinstance(f_rlx, str) else "<nested>"
+        if isinstance(f_rlx, dict) and len(f_rlx) == 1:
+            f_name = next(iter(f_rlx))
+            f_sub = f_rlx[f_name] or {}
+        else:
+            f_name = f_rlx if isinstance(f_rlx, str) else "<nested>"
+            f_sub = {}
         g_name = g_rlx if isinstance(g_rlx, str) else "<nested>"
         unsupported = []
-        if f_name not in _DIST_F_RELAX:
+        if f_name in _DIST_F_JACOBI:
+            f_kind = "masked-jacobi"
+        elif f_name == "amg":
+            f_kind = "masked-amg"
+        elif f_name == "ilu":
+            f_kind = "masked-ilu"
+        else:
+            f_kind = "masked-jacobi"
             unsupported.append(f"f_relaxation: {f_name}")
         if g_name != "none":
             unsupported.append(f"g_relaxation: {g_name}")
@@ -113,6 +127,8 @@ def setup_mgr_dist(A_parts: Sequence[sp.csr_matrix], args,
             "prolongation_type": int(parsed.prolongation_type),
             "restriction_type": int(parsed.restriction_type),
             "f_sweeps": max(1, int(parsed.num_sweeps)),
+            "f_kind": f_kind,
+            "f_sub": f_sub,
         })
 
     levels = []
@@ -263,9 +279,43 @@ def setup_mgr_dist(A_parts: Sequence[sp.csr_matrix], args,
             P_s.resize((P_s.shape[0], npad_c))
             P_padded.append(sp.csr_matrix(P_s))
 
-        # masked-Jacobi F-relax (exact full-space formulation)
-        dinv = np.where(diag != 0, 1.0 / diag, 0.0)
-        mdinv = pad_vector(f_mask_np * dinv, n, mesh, dtype=dtype)
+        # F-relaxation state
+        f_kind = cfg.get("f_kind", "masked-jacobi")
+        if f_kind in ("masked-amg", "masked-ilu"):
+            # full-space embedding Ã = A_ff ⊕ I: F rows keep their F-F
+            # entries, C rows (and pad rows) become identity — the
+            # component then applies with zero gather/scatter
+            Aff_parts = []
+            for s, A_s in enumerate(A_parts):
+                lo = int(off[s])
+                rows = np.repeat(np.arange(A_s.shape[0]),
+                                 np.diff(A_s.indptr))
+                keep = f_mask_np[rows + lo] & f_mask_np[A_s.indices]
+                blk = sp.csr_matrix(
+                    (A_s.data[keep], (rows[keep], A_s.indices[keep])),
+                    shape=A_s.shape)
+                loc_c = np.flatnonzero(~f_mask_np[lo:int(off[s + 1])])
+                blk = sp.csr_matrix(blk + sp.coo_matrix(
+                    (np.ones(len(loc_c)), (loc_c, loc_c + lo)),
+                    shape=A_s.shape))
+                blk.sort_indices()
+                Aff_parts.append(blk)
+            fmask_dev = pad_vector(f_mask_np.astype(np.float64), n, mesh,
+                                   dtype=dtype)
+            if f_kind == "masked-amg":
+                f_args = AMG_SCHEMA.parse(dict(cfg.get("f_sub") or {}),
+                                          "mgr:f_relax:amg", [])
+                sub_state = setup_hierarchy_dist(Aff_parts, f_args, mesh,
+                                                 dtype=dtype)
+            else:
+                sub_state = build_bj_ilu_dist(Aff_parts, mesh, dtype=dtype)
+            f_state = (fmask_dev, sub_state)
+        else:
+            # masked-Jacobi F-relax (exact full-space formulation)
+            dinv = np.where(diag != 0, 1.0 / diag, 0.0)
+            mdinv = pad_vector(f_mask_np * dinv, n, mesh, dtype=dtype)
+            f_state = (mdinv,)
+            f_kind = "masked-jacobi"
         g_kind = "none"
         g_state = None
         levels.append(MGRLevel(
@@ -274,8 +324,8 @@ def setup_mgr_dist(A_parts: Sequence[sp.csr_matrix], args,
             P=DistEllMatrix.from_parts(P_padded, mesh, npad_c,
                                        dtype=dtype),
             R=DistEllMatrix.from_parts(R_parts, mesh, n, dtype=dtype),
-            f_state=(mdinv,), g_state=g_state,
-            f_kind="masked-jacobi", g_kind=g_kind,
+            f_state=f_state, g_state=g_state,
+            f_kind=f_kind, g_kind=g_kind,
             f_sweeps=max(1, int(cfg.get("f_sweeps", 1))),
             pre=True, post=False,
         ))

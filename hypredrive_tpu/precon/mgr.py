@@ -112,6 +112,18 @@ def _f_relax(level: MGRLevel, x, b):
         for _ in range(level.f_sweeps):
             x = x + mdinv * (b - level.A.matvec(x))
         return x
+    if level.f_kind in ("masked-amg", "masked-ilu"):
+        # distributed F-relax beyond Jacobi with ZERO gather/scatter:
+        # the component was set up on the full-space embedding
+        # Ã = A_ff ⊕ I (identity C rows), so  x += fmask·B(fmask·r)
+        # runs on row-sharded operators unchanged (ref: hypre MGR
+        # F-relax solvers mgr.c:3930-4250, re-designed for the mesh)
+        fmask, sub_state = level.f_state
+        kind = level.f_kind.split("-", 1)[1]
+        for _ in range(level.f_sweeps):
+            r = b - level.A.matvec(x)
+            x = x + fmask * apply_component(kind, sub_state, fmask * r)
+        return x
     for _ in range(level.f_sweeps):
         r = b - level.A.matvec(x)
         rf = r[level.f_idx]
