@@ -37,6 +37,11 @@ class SolveResult:
     converged: bool = True
     res_history: Optional[np.ndarray] = None
     solve_time: float = 0.0
+    # per-iteration per-dof-block error norms ||x_k − xref|| — filled by
+    # GMRES when a reference solution + dofmap tags are present (ref:
+    # hypredrv_GMRESSetRefSolution / hypre tagged inner product,
+    # src/internal/gmres.c:80-103, src/HYPREDRV.c:693-726)
+    error_histories: Optional[np.ndarray] = None
 
 
 def identity_precon(state, r):
@@ -81,8 +86,9 @@ class Solver:
         if stats is not None:
             stats.annotate_begin("solve")
         t0 = time.perf_counter()
-        x, iters, final_norm, converged, history = self.solve_core(
-            A, self._precon_state, b, x0)
+        out = self.solve_core(A, self._precon_state, b, x0)
+        x, iters, final_norm, converged, history = out[:5]
+        err_hist = out[5] if len(out) > 5 else None
         x.block_until_ready()
         solve_time = time.perf_counter() - t0
         if stats is not None:
@@ -103,6 +109,8 @@ class Solver:
             converged=bool(converged),
             res_history=np.asarray(history),
             solve_time=solve_time,
+            error_histories=(np.asarray(err_hist)
+                             if err_hist is not None else None),
         )
         system.x = x
         if stats is not None:

@@ -13,6 +13,9 @@ true (preconditioned) residual is recomputed and checked unless
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -20,9 +23,22 @@ from .base import Solver, jitted_core
 
 
 def _gmres_core(matvec, precon, b, x0, rtol, atol,
-                max_iter: int, m: int, skip_real_res_check: bool):
+                max_iter: int = 300, m: int = 30,
+                skip_real_res_check: bool = False, *,
+                num_tags: int = 0, xref=None, tags=None):
+    """``num_tags`` > 0 activates tagged reference-solution error
+    tracking: per inner iteration the current iterate is reconstructed
+    (small back-substitution + basis combination) and its per-dof-block
+    error norms vs ``xref`` are recorded (ref: hypredrv_GMRESSet-
+    RefSolution src/internal/gmres.c:80-103; hypre's tagged inner
+    product over dofmap tags, src/HYPREDRV.c:693-726)."""
     dtype = b.dtype
     n = b.shape[0]
+
+    def block_err(xk):
+        e = xk - xref
+        ss = jax.ops.segment_sum(e * e, tags, num_segments=num_tags)
+        return jnp.sqrt(ss)
 
     # hypre convention: the convergence contract is on the TRUE residual
     # (epsilon = max(a_tol, r_tol*||b||) with unpreconditioned norms;
@@ -40,8 +56,12 @@ def _gmres_core(matvec, precon, b, x0, rtol, atol,
     threshold = jnp.maximum(rtol * denom, atol)
 
     history0 = jnp.full(max_iter + 1, jnp.nan, dtype=dtype).at[0].set(r0_norm)
+    nt = max(1, num_tags)
+    ehist0 = jnp.full((max_iter + 1, nt), jnp.nan, dtype=dtype)
+    if num_tags > 0:
+        ehist0 = ehist0.at[0].set(block_err(x0))
 
-    def arnoldi_cycle(x, total_iters, r_true_norm, hist):
+    def arnoldi_cycle(x, total_iters, r_true_norm, hist, ehist):
         """One restart cycle; returns updated x, iters, residual estimate."""
         r = precon(b - matvec(x))
         beta = jnp.sqrt(jnp.vdot(r, r))
@@ -58,11 +78,11 @@ def _gmres_core(matvec, precon, b, x0, rtol, atol,
         g0 = jnp.zeros(m + 1, dtype).at[0].set(beta)
 
         def cond(c):
-            V, H, cs, sn, g, j, norm, done, hist = c
+            V, H, cs, sn, g, j, norm, done, hist, ehist = c
             return jnp.logical_and(j < m, jnp.logical_not(done))
 
         def body(c):
-            V, H, cs, sn, g, j, norm, done, hist = c
+            V, H, cs, sn, g, j, norm, done, hist, ehist = c
             w = precon(matvec(V[j]))
             # modified Gram-Schmidt against all basis vectors (masked ≥ j+1)
             def mgs_step(i, carry):
@@ -98,12 +118,28 @@ def _gmres_core(matvec, precon, b, x0, rtol, atol,
             g = g.at[j].set(c_new * g[j])
             norm = jnp.abs(g[j + 1])
             hist = hist.at[total_iters + j + 1].set(norm)
+            if num_tags > 0:
+                # reconstruct the current iterate (small masked
+                # back-substitution on the updated Hessenberg) and log
+                # the per-block error vs xref
+                def bs(k, y):
+                    kk = m - 1 - k
+                    rhs_v = g[kk] - jnp.dot(H[kk, :], y)
+                    yk = jnp.where(
+                        jnp.logical_and(kk <= j, H[kk, kk] != 0),
+                        rhs_v / H[kk, kk], 0.0)
+                    return y.at[kk].set(yk)
+
+                y_j = jax.lax.fori_loop(0, m, bs, jnp.zeros(m, dtype))
+                dx_j = jnp.einsum("k,kn->n", y_j, V[:m])
+                ehist = ehist.at[total_iters + j + 1].set(
+                    block_err(x + dx_j))
             done = norm <= inner_threshold
-            return (V, H, cs, sn, g, j + 1, norm, done, hist)
+            return (V, H, cs, sn, g, j + 1, norm, done, hist, ehist)
 
         init = (V0, H0, cs0, sn0, g0, jnp.int32(0), beta,
-                beta <= inner_threshold, hist)
-        V, H, cs, sn, g, j, norm, done, hist = jax.lax.while_loop(
+                beta <= inner_threshold, hist, ehist)
+        V, H, cs, sn, g, j, norm, done, hist, ehist = jax.lax.while_loop(
             cond, body, init)
 
         # back-substitution on the j×j upper-triangular system (masked to m)
@@ -117,16 +153,16 @@ def _gmres_core(matvec, precon, b, x0, rtol, atol,
 
         y = jax.lax.fori_loop(0, m, back_sub, jnp.zeros(m, dtype))
         dx = jnp.einsum("k,kn->n", y, V[:m])
-        return x + dx, j, norm, done, hist
+        return x + dx, j, norm, done, hist, ehist
 
     def outer_cond(c):
-        x, total, norm, done, hist = c
+        x, total, norm, done, hist, ehist = c
         return jnp.logical_and(total < max_iter, jnp.logical_not(done))
 
     def outer_body(c):
-        x, total, norm, done, hist = c
-        x, j, norm_est, conv_inner, hist = arnoldi_cycle(x, total, norm,
-                                                         hist)
+        x, total, norm, done, hist, ehist = c
+        x, j, norm_est, conv_inner, hist, ehist = arnoldi_cycle(
+            x, total, norm, hist, ehist)
         total = total + j
         if skip_real_res_check:
             # trust the inner estimate: the cycle ran until it shrank by
@@ -143,11 +179,14 @@ def _gmres_core(matvec, precon, b, x0, rtol, atol,
             done = norm <= threshold
         # no progress this cycle → breakdown, stop
         done = jnp.logical_or(done, j == 0)
-        return (x, total, norm, done, hist)
+        return (x, total, norm, done, hist, ehist)
 
-    init = (x0, jnp.int32(0), r0_norm, r0_norm <= threshold, history0)
-    x, iters, norm, done, history = jax.lax.while_loop(
+    init = (x0, jnp.int32(0), r0_norm, r0_norm <= threshold, history0,
+            ehist0)
+    x, iters, norm, done, history, ehist = jax.lax.while_loop(
         outer_cond, outer_body, init)
+    if num_tags > 0:
+        return x, iters, norm, done, history, ehist
     return x, iters, norm, done, history
 
 
@@ -158,8 +197,35 @@ class GMRESSolver(Solver):
         a = self.args
         statics = (int(a.max_iter), int(a.krylov_dim),
                    bool(a.get("skip_real_res_check", False)))
-        core = jitted_core(_gmres_core, type(A).matvec, self._precon_fn,
-                           statics)
         rtol = jnp.asarray(a.relative_tol, b.dtype)
         atol = jnp.asarray(a.absolute_tol, b.dtype)
+        sysobj = getattr(self, "_system", None)
+        xref = getattr(sysobj, "xref", None) if sysobj is not None else None
+        if xref is not None:
+            # tagged reference-solution error tracking (ref:
+            # hypredrv_GMRESSetRefSolution + vector tags from the
+            # dofmap, src/HYPREDRV.c:693-726); one tag when no dofmap
+            dofmap = getattr(sysobj, "dofmap", None)
+            if dofmap is not None:
+                tags = jnp.asarray(np.asarray(dofmap), jnp.int32)
+                nt = int(np.asarray(dofmap).max()) + 1
+            else:
+                tags = jnp.zeros(b.shape[0], jnp.int32)
+                nt = 1
+            core = _tagged_core(type(A).matvec, self._precon_fn,
+                                statics, nt)
+            return core(A, pstate, b, x0, rtol, atol,
+                        jnp.asarray(xref, b.dtype), tags)
+        core = jitted_core(_gmres_core, type(A).matvec, self._precon_fn,
+                           statics)
         return core(A, self._precon_state, b, x0, rtol, atol)
+
+
+@lru_cache(maxsize=64)
+def _tagged_core(matvec_fn, precon_fn, statics, num_tags):
+    def wrapped(A, pstate, b, x0, rtol, atol, xref, tags):
+        mv = lambda v: matvec_fn(A, v)
+        pc = lambda r: precon_fn(pstate, r)
+        return _gmres_core(mv, pc, b, x0, rtol, atol, *statics,
+                           num_tags=num_tags, xref=xref, tags=tags)
+    return jax.jit(wrapped)

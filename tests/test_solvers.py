@@ -121,3 +121,52 @@ def test_solution_matches_direct():
     })
     x_direct = spla.spsolve(A.tocsc(), b)
     np.testing.assert_allclose(res.x, x_direct, rtol=1e-6, atol=1e-8)
+
+
+def test_gmres_tagged_reference_error_tracking():
+    """With xref + dofmap set, GMRES records per-iteration per-dof-block
+    error norms ||x_k − xref|| (ref: hypredrv_GMRESSetRefSolution,
+    src/internal/gmres.c:80-103; tags src/HYPREDRV.c:693-726)."""
+    import scipy.sparse as sp
+    import tempfile, os
+    from hypredrive_tpu.ops.csr import multiphysics_block_system
+    from hypredrive_tpu.io import ij
+
+    A, dofmap = multiphysics_block_system(8, ndof=2)
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    xref = np.linspace(0.5, 1.5, n)
+    b = A @ xref
+    td = tempfile.mkdtemp()
+    ij.write_matrix_ascii(os.path.join(td, "A"), A)
+    ij.write_vector_ascii(os.path.join(td, "b"), b)
+    ij.write_vector_ascii(os.path.join(td, "xref"), xref)
+    ij.write_dofmap_ascii(os.path.join(td, "dof"), dofmap)
+    drv = hd.HypreDrive()
+    try:
+        drv.input_args_from_dict({
+            "general": {},
+            "linear_system": {
+                "matrix_filename": os.path.join(td, "A"),
+                "rhs_filename": os.path.join(td, "b"),
+                "xref_filename": os.path.join(td, "xref"),
+                "dofmap_filename": os.path.join(td, "dof"),
+            },
+            "solver": {"gmres": {"relative_tol": 1e-10}},
+            "preconditioner": "ilu",
+        })
+        drv.linear_system_build()
+        drv.precon_create()
+        drv.linear_solver_create()
+        drv.linear_solver_setup()
+        res = drv.linear_solver_apply()
+    finally:
+        drv.destroy()
+    eh = res.error_histories
+    assert eh is not None and eh.shape[1] == 2
+    it = res.iters
+    valid = eh[:it + 1]
+    assert np.all(np.isfinite(valid))
+    # error decreases over the iteration and ends tiny per block
+    assert valid[-1].max() < 1e-6 * max(1.0, valid[0].max())
+    assert valid[0].max() > valid[-1].max()
