@@ -30,21 +30,13 @@ from .ams import build_pi
 
 
 def _ads_apply(state, r):
-    from .amg.cycle import amg_apply
-    from .ams import _ams_apply, AMSState
+    """ADS shares the AMS cycle machinery: spaces are 0 = smoothing on
+    the face matrix, 1 = curl (edge) space solved by a nested AMS,
+    2 = Π_RT vector space (ref: ads.h cycle_type — same digit grammar
+    as ams.h)."""
+    from .ams import _ams_apply
 
-    A, d_inv, C, CT, Pi, PiT, bc_state, bpi_state = state
-    z = d_inv * r
-    if isinstance(bc_state, AMSState):
-        # nested AMS on the curl (edge) space — hypre ADS's own
-        # structure (ref: ads.h nested AMS option group); curl∘grad = 0
-        # makes its gradient part degenerate (beta_is_zero)
-        z = z + C.matvec(_ams_apply(bc_state, CT.matvec(r)))
-    else:
-        z = z + C.matvec(amg_apply(bc_state, CT.matvec(r)))
-    z = z + Pi.matvec(amg_apply(bpi_state, PiT.matvec(r)))
-    z = z + d_inv * (r - A.matvec(z))
-    return z
+    return _ams_apply(state, r)
 
 
 class ADSPrecon(Preconditioner):
@@ -92,29 +84,37 @@ class ADSPrecon(Preconditioner):
         B_Pi_edge = B_Pi_edge + 1e-12 * sp.identity(B_Pi_edge.shape[0])
         dof_func_e = (np.arange(B_Pi_edge.shape[0]) % dim).astype(np.int64)
         l1c = np.asarray(np.abs(B_C).sum(axis=1)).ravel()
+        ams_sub = dict(self.args.get("ams") or {})
         bc_state = AMSState(
             EllMatrix.from_csr(B_C, dtype=dtype),
-            jnp.asarray(np.where(l1c != 0, 1.0 / l1c, 1.0), dtype=dtype),
+            (jnp.asarray(np.where(l1c != 0, 1.0 / l1c, 1.0),
+                         dtype=dtype),),
             None, None,
             EllMatrix.from_csr(Pi_edge, dtype=dtype),
             EllMatrix.from_csr(sp.csr_matrix(Pi_edge.T), dtype=dtype),
             None,
             setup_hierarchy(B_Pi_edge, amg_args, dtype=dtype,
                             dof_func=dof_func_e),
-            cycle_type=1,
+            cycle_type=int(ams_sub.get("cycle_type", 1) or 1),
+            relax_times=max(1, int(ams_sub.get("relax_times", 1) or 1)),
         )
         bpi_state = setup_hierarchy(B_Pi, amg_args, dtype=dtype,
                                     dof_func=dof_func_pi)
 
+        relax_times = max(1, int(self.args.get("relax_times", 1)))
+        weight = float(self.args.get("relax_weight", 1.0))
         l1 = np.asarray(np.abs(A_host).sum(axis=1)).ravel()
-        d_inv = jnp.asarray(np.where(l1 != 0, 1.0 / l1, 1.0), dtype=dtype)
-        self.state = (
+        d_inv = jnp.asarray(np.where(l1 != 0, weight / l1, 1.0),
+                            dtype=dtype)
+        self.state = AMSState(
             EllMatrix.from_csr(A_host, dtype=dtype),
-            d_inv,
+            (d_inv,),
             EllMatrix.from_csr(sp.csr_matrix(C), dtype=dtype),
             EllMatrix.from_csr(sp.csr_matrix(C.T), dtype=dtype),
             EllMatrix.from_csr(Pi, dtype=dtype),
             EllMatrix.from_csr(sp.csr_matrix(Pi.T), dtype=dtype),
             bc_state, bpi_state,
+            cycle_type=int(self.args.get("cycle_type", 1)),
+            relax_times=relax_times,
         )
         self.is_setup = True

@@ -70,64 +70,132 @@ def build_pi(G: sp.csr_matrix, coords: np.ndarray) -> sp.csr_matrix:
 import jax
 
 
+# hypre's AMS cycle table (HYPRE ref manual / ams.c SetCycleType):
+# digits are spaces (0 = smoothing on A, 1 = B_G gradient space,
+# 2 = B_Π full vector space, 3/4/5 = B_Πx/Πy/Πz component spaces),
+# "+" is additive combination.  Encoded as BRANCHES (additive, all from
+# the original residual), each branch a multiplicative GROUP sequence,
+# each group an additive set of space corrections.
+_AMS_CYCLES = {
+    1: [[{0}, {1}, {2}, {1}, {0}]],               # 01210
+    2: [[{0, 1, 2}]],                             # 0+1+2
+    3: [[{0}, {2}, {1}, {2}, {0}]],               # 02120
+    4: [[{0}, {1}, {0}], [{2}]],                  # 010+2
+    5: [[{0}, {1}, {0}, {2}, {0}, {1}, {0}]],     # 0102010
+    6: [[{1}], [{0}, {2}, {0}]],                  # 1+020
+    7: [[{0}, {2}, {0}, {1}, {0}, {2}, {0}]],     # 0201020
+    8: [[{0}, {1, 2}, {0}]],                      # 0(1+2)0
+    11: [[{0}, {1}, {3}, {4}, {5}, {4}, {3}, {1}, {0}]],   # 013454310
+    12: [[{0, 1, 3, 4, 5}]],                      # 0+1+3+4+5
+    13: [[{0}, {3}, {4}, {5}, {1}, {5}, {4}, {3}, {0}]],   # 034515430
+    14: [[{0}, {1}, {3, 4, 5}, {1}, {0}]],        # 01(3+4+5)10
+}
+
+
+def needs_component_spaces(cycle_type: int) -> bool:
+    return int(cycle_type) >= 11
+
+
 @jax.tree_util.register_pytree_node_class
 class AMSState:
-    """Pytree for the AMS apply; ``cycle_type`` is static aux so the
-    jitted apply specializes on the cycle shape (ref: ams.h cycle_type —
-    1 = additive, ≥2 = multiplicative)."""
+    """Pytree for the AMS apply; ``cycle_type``/smoothing options are
+    static aux so the jitted apply specializes on the cycle shape
+    (ref: ams.h cycle_type 1-14)."""
 
-    def __init__(self, A, d_inv, G, GT, Pi, PiT, bg_state, bpi_state,
-                 cycle_type=1):
-        (self.A, self.d_inv, self.G, self.GT, self.Pi, self.PiT,
-         self.bg_state, self.bpi_state) = (A, d_inv, G, GT, Pi, PiT,
+    def __init__(self, A, smooth, G, GT, Pi, PiT, bg_state, bpi_state,
+                 comp_spaces=(), cycle_type=1, relax_times=1,
+                 smoother="l1-jacobi"):
+        (self.A, self.smooth, self.G, self.GT, self.Pi, self.PiT,
+         self.bg_state, self.bpi_state) = (A, smooth, G, GT, Pi, PiT,
                                            bg_state, bpi_state)
+        # comp_spaces: tuple of (Pi_d, Pi_dT, state) per dimension
+        self.comp_spaces = tuple(comp_spaces)
         self.cycle_type = int(cycle_type)
+        self.relax_times = int(relax_times)
+        self.smoother = smoother
+
+    # backward-compat alias (round-4 state stored the inverse diagonal)
+    @property
+    def d_inv(self):
+        return self.smooth[0]
 
     def tree_flatten(self):
-        return ((self.A, self.d_inv, self.G, self.GT, self.Pi, self.PiT,
-                 self.bg_state, self.bpi_state), (self.cycle_type,))
+        return ((self.A, self.smooth, self.G, self.GT, self.Pi, self.PiT,
+                 self.bg_state, self.bpi_state, self.comp_spaces),
+                (self.cycle_type, self.relax_times, self.smoother))
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(*ch, cycle_type=aux[0])
+        return cls(*ch, cycle_type=aux[0], relax_times=aux[1],
+                   smoother=aux[2])
+
+
+def _ams_smooth(state, res):
+    """relax_times sweeps of the configured smoother as an error
+    correction z ≈ A⁻¹ res (ref: ams.h relax_type/relax_times/
+    relax_weight; ℓ1-Jacobi replaces hypre's ℓ1-GS on TPU, Chebyshev is
+    relax_type 16)."""
+    A = state.A
+    if state.smoother == "chebyshev":
+        d_inv, theta, delta, rhos = state.smooth
+        order = rhos.shape[0]
+        z = d_inv * res / theta
+        d = z
+        rho_prev = rhos[0]
+        for k in range(1, order):
+            rk = d_inv * (res - A.matvec(z))
+            d = rhos[k] * rho_prev * d + (2.0 * rhos[k] / delta) * rk
+            z = z + d
+            rho_prev = rhos[k]
+        return z
+    (d_inv,) = state.smooth
+    z = d_inv * res
+    for _ in range(max(0, state.relax_times - 1)):
+        z = z + d_inv * (res - A.matvec(z))
+    return z
 
 
 def _ams_apply(state, r):
     from .amg.cycle import amg_apply
 
-    if isinstance(state, tuple):      # legacy tuple state
-        A, d_inv, G, GT, Pi, PiT, bg_state, bpi_state = state[:8]
-        cycle = 1
-    else:
-        A, d_inv, G, GT, Pi, PiT = (state.A, state.d_inv, state.G,
-                                    state.GT, state.Pi, state.PiT)
-        bg_state, bpi_state = state.bg_state, state.bpi_state
-        cycle = state.cycle_type
-    # bg_state None = hypre's beta_is_zero mode (SetBetaPoissonMatrix
-    # NULL, ref ams.h): the scalar-potential correction is skipped —
-    # also how the nested AMS inside ADS works, where curl∘grad = 0
-    # makes the gradient space degenerate
-    if cycle <= 1:
-        # additive corrections (AMS cycle 1: smoother ∥ G-space ∥ Π-space)
-        z = d_inv * r
-        if bg_state is not None:
-            z = z + G.matvec(amg_apply(bg_state, GT.matvec(r)))
-        z = z + Pi.matvec(amg_apply(bpi_state, PiT.matvec(r)))
-        # one smoothing sweep to tie the spaces together
-        z = z + d_inv * (r - A.matvec(z))
-        return z
-    # multiplicative cycle (ref ams.h cycle_type 2+: relax → Π-space →
-    # G-space corrections, each against the UPDATED residual, then a
-    # closing relaxation — the Hiptmair-Xu V-shape)
-    z = d_inv * r
-    res = r - A.matvec(z)
-    z = z + Pi.matvec(amg_apply(bpi_state, PiT.matvec(res)))
-    if bg_state is not None:
-        res = r - A.matvec(z)
-        z = z + G.matvec(amg_apply(bg_state, GT.matvec(res)))
-    res = r - A.matvec(z)
-    z = z + d_inv * res
-    return z
+    def corr(space, res):
+        if space == 0:
+            return _ams_smooth(state, res)
+        if space == 1:
+            # bg_state None = hypre's beta_is_zero mode
+            # (SetBetaPoissonMatrix NULL): gradient correction skipped —
+            # also the nested AMS inside ADS, where curl∘grad = 0
+            if state.bg_state is None:
+                return jnp.zeros_like(res)
+            if isinstance(state.bg_state, AMSState):
+                # ADS: space 1 is the curl (edge) space solved by a
+                # nested AMS (ref: ads.h AMS option group)
+                return state.G.matvec(_ams_apply(state.bg_state,
+                                                 state.GT.matvec(res)))
+            return state.G.matvec(amg_apply(state.bg_state,
+                                            state.GT.matvec(res)))
+        if space == 2:
+            return state.Pi.matvec(amg_apply(state.bpi_state,
+                                             state.PiT.matvec(res)))
+        d = space - 3
+        if d < len(state.comp_spaces):
+            Pd, PdT, st_d = state.comp_spaces[d]
+            return Pd.matvec(amg_apply(st_d, PdT.matvec(res)))
+        return jnp.zeros_like(res)
+
+    branches = _AMS_CYCLES.get(int(state.cycle_type), _AMS_CYCLES[1])
+    z_total = None
+    for branch in branches:
+        z = None
+        for group in branch:
+            res = r if z is None else r - state.A.matvec(z)
+            dz = None
+            for space in sorted(group):
+                c = corr(space, res)
+                dz = c if dz is None else dz + c
+            z = dz if z is None else z + dz
+        z_total = z if z_total is None else z_total + z
+    return z_total
 
 
 class AMSPrecon(Preconditioner):
@@ -171,16 +239,55 @@ class AMSPrecon(Preconditioner):
         bpi_state = setup_hierarchy(B_Pi, alpha_args, dtype=dtype,
                                     dof_func=dof_func_pi)
 
+        cycle_type = int(self.args.get("cycle_type", 1))
+        # 5-level cycles (11-14) use per-component Π_d spaces
+        # (ref: ams.h cycle_type; hypre Pix/Piy/Piz)
+        comp_spaces = []
+        if needs_component_spaces(cycle_type):
+            for d in range(dim):
+                cols = np.arange(Pi.shape[1] // dim) * dim + d
+                Pd = sp.csr_matrix(Pi[:, cols])
+                B_d = sp.csr_matrix(Pd.T @ A_host @ Pd)
+                B_d = B_d + 1e-12 * sp.identity(B_d.shape[0])
+                st_d = setup_hierarchy(B_d, alpha_args, dtype=dtype)
+                comp_spaces.append((
+                    EllMatrix.from_csr(Pd, dtype=dtype),
+                    EllMatrix.from_csr(sp.csr_matrix(Pd.T), dtype=dtype),
+                    st_d))
+
+        # smoothing on A (ref: ams.h relax_type/relax_times/relax_weight
+        # — ℓ1-GS family maps to ℓ1-Jacobi on TPU; 16 = Chebyshev)
+        relax_type = int(self.args.get("relax_type", 2))
+        relax_times = max(1, int(self.args.get("relax_times", 1)))
+        weight = float(self.args.get("relax_weight", 1.0))
         l1 = np.asarray(np.abs(A_host).sum(axis=1)).ravel()
-        d_inv = jnp.asarray(np.where(l1 != 0, 1.0 / l1, 1.0), dtype=dtype)
+        d_inv_np = np.where(l1 != 0, weight / l1, 1.0)
+        if relax_type == 16:
+            from .chebyshev import cheby_coefficients
+            from .amg.hierarchy import _power_lambda_max
+
+            diag = A_host.diagonal()
+            dj = np.where(diag != 0, 1.0 / diag, 1.0)
+            lam = _power_lambda_max(A_host, dj, 10) * 1.1
+            theta, delta, rhos = cheby_coefficients(lam, 0.3, 2)
+            smooth = (jnp.asarray(dj, dtype), jnp.asarray(theta, dtype),
+                      jnp.asarray(delta, dtype), jnp.asarray(rhos, dtype))
+            smoother = "chebyshev"
+        else:
+            smooth = (jnp.asarray(d_inv_np, dtype),)
+            smoother = "l1-jacobi"
+
         self.state = AMSState(
             EllMatrix.from_csr(A_host, dtype=dtype),
-            d_inv,
+            smooth,
             EllMatrix.from_csr(G, dtype=dtype),
             EllMatrix.from_csr(sp.csr_matrix(G.T), dtype=dtype),
             EllMatrix.from_csr(Pi, dtype=dtype),
             EllMatrix.from_csr(sp.csr_matrix(Pi.T), dtype=dtype),
             bg_state, bpi_state,
-            cycle_type=int(self.args.get("cycle_type", 1)),
+            comp_spaces=tuple(comp_spaces),
+            cycle_type=cycle_type,
+            relax_times=relax_times,
+            smoother=smoother,
         )
         self.is_setup = True

@@ -4,6 +4,7 @@ state vectors src/HYPREDRV.c:1701-1930)."""
 
 import numpy as np
 import pytest
+import scipy.sparse as sp
 
 import hypredrive_tpu as hd
 from hypredrive_tpu.core.errors import HypredrvError
@@ -142,18 +143,103 @@ def test_state_vector_apply_correction():
 
 
 def test_ams_multiplicative_cycle():
-    """cycle_type >= 2 runs the multiplicative Hiptmair-Xu V-shape
-    (ref: ams.h cycle_type) and converges at least as fast as the
-    additive cycle on the 3-D Maxwell system."""
+    """hypre cycle grammar (ref: ams.h cycle_type): 1 = multiplicative
+    01210, 2 = additive 0+1+2 — the multiplicative V-shape converges at
+    least as fast as the additive cycle on the 3-D Maxwell system."""
     A, G, coords = maxwell_edge_system(5)
-    res_add, rel_add = _aux_solve(
+    res_mul, rel_mul = _aux_solve(
         A, {"ams": {"cycle_type": 1}},
         {"set_discrete_gradient": G, "set_coordinates": coords})
-    res_mul, rel_mul = _aux_solve(
+    res_add, rel_add = _aux_solve(
         A, {"ams": {"cycle_type": 2}},
         {"set_discrete_gradient": G, "set_coordinates": coords})
     assert rel_add < 1e-6 and rel_mul < 1e-6
     assert res_mul.iters <= res_add.iters + 2
+
+
+def test_ams_cycle_types_full_table():
+    """Every hypre AMS cycle type (1-8 three-level, 11-14 five-level
+    with per-component Π_d spaces) converges on the Maxwell system
+    (ref: ams.h cycle_type table)."""
+    A, G, coords = maxwell_edge_system(5)
+    iters = {}
+    for ct in (1, 2, 3, 4, 5, 6, 7, 8, 11, 12, 13, 14):
+        res, rel = _aux_solve(
+            A, {"ams": {"cycle_type": ct}},
+            {"set_discrete_gradient": G, "set_coordinates": coords})
+        assert rel < 1e-6, f"cycle {ct}: rel {rel}"
+        iters[ct] = res.iters
+    # heavier multiplicative cycles (5/7) beat or match the basic
+    # additive one
+    assert iters[5] <= iters[2]
+    assert iters[7] <= iters[2]
+
+
+def test_ams_relaxation_options():
+    """relax_times / relax_weight / Chebyshev relax_type are honored
+    (ref: ams.h relax_* block)."""
+    A, G, coords = maxwell_edge_system(5)
+    res1, rel1 = _aux_solve(
+        A, {"ams": {"cycle_type": 1, "relax_times": 1}},
+        {"set_discrete_gradient": G, "set_coordinates": coords})
+    res3, rel3 = _aux_solve(
+        A, {"ams": {"cycle_type": 1, "relax_times": 3}},
+        {"set_discrete_gradient": G, "set_coordinates": coords})
+    resc, relc = _aux_solve(
+        A, {"ams": {"cycle_type": 1, "relax_type": 16}},
+        {"set_discrete_gradient": G, "set_coordinates": coords})
+    assert rel1 < 1e-6 and rel3 < 1e-6 and relc < 1e-6
+    # more smoothing sweeps never hurt the iteration count materially
+    assert res3.iters <= res1.iters + 1
+
+
+def test_ams_unstructured_mesh():
+    """Non-tensor G: a Delaunay triangulation of random points — no
+    lattice ordering, irregular vertex degrees — shakes out the
+    model-problem assumptions in Π/strength (VERDICT r4 #10)."""
+    from scipy.spatial import Delaunay
+
+    rng = np.random.default_rng(9)
+    pts = rng.uniform(0, 1, size=(120, 2))
+    tri = Delaunay(pts)
+    edges = {}
+    for simplex in tri.simplices:
+        for a in range(3):
+            i, j = sorted((int(simplex[a]), int(simplex[(a + 1) % 3])))
+            edges.setdefault((i, j), len(edges))
+    rows, cols, vals = [], [], []
+    for (i, j), e in edges.items():
+        rows += [e, e]
+        cols += [i, j]
+        vals += [-1.0, 1.0]
+    G = sp.csr_matrix((vals, (rows, cols)),
+                      shape=(len(edges), len(pts)))
+    # discrete curl from the triangles (oriented boundary sums):
+    # each triangle's three edges with sign by direction agreement
+    cr, cc, cv = [], [], []
+    for t, simplex in enumerate(tri.simplices):
+        for a in range(3):
+            u, v = int(simplex[a]), int(simplex[(a + 1) % 3])
+            i, j = (u, v) if u < v else (v, u)
+            e = edges[(i, j)]
+            cr.append(t)
+            cc.append(e)
+            cv.append(1.0 if (u, v) == (i, j) else -1.0)
+    C = sp.csr_matrix((cv, (cr, cc)), shape=(len(tri.simplices),
+                                             len(edges)))
+    assert abs(C @ G).max() == 0.0          # de Rham: curl∘grad = 0
+    # unstructured curl-curl + mass: near-null space = range(G)
+    A = sp.csr_matrix(C.T @ C + 0.05 * sp.identity(G.shape[0]))
+    res, rel = _aux_solve(
+        A, {"ams": {"cycle_type": 1}},
+        {"set_discrete_gradient": G, "set_coordinates": pts},
+        solver="pcg")
+    assert rel < 1e-6
+    res_j, _ = _aux_solve(
+        A, "jacobi",
+        {"set_discrete_gradient": G, "set_coordinates": pts},
+        solver="pcg")
+    assert res.iters < res_j.iters
 
 
 def test_build_pi_vectorized_matches_edges():
