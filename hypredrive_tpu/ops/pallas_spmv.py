@@ -293,20 +293,19 @@ def _assemble_group(gops, dtype, target_device):
         for g in gops:
             g._assemble_now()
         return
-    # slot wire format: absolute int32 slots by default.  The uint16
-    # delta encoding (7 B/nnz instead of 9; opt-in via
-    # HYPREDRV_DELTA_SLOTS=1 for byte-constrained links) decodes with a
-    # device cumsum whose XLA TPU compile is pathological — measured
-    # 16s+ per 2M-entry chunk, 60s of the 67s cold 64³ setup — while
-    # the absolute-slot scatter compiles in <1s; the extra 2 B/nnz cost
-    # ~20 ms of transfer.  Delta still falls back to absolute when any
-    # gap overflows uint16.
+    # slot wire format: uint16 deltas by default (7 B/nnz instead of 9
+    # — worth ~300 ms of a degraded remote tunnel per 64³ setup).  The
+    # decode is the two-level device cumsum (_two_level_cumsum): the
+    # flat 1-D cumsum XLA-TPU compile is pathological (measured 101 s
+    # for one 2M-entry chunk) and was why r3 shipped absolute slots.
+    # Opt out with HYPREDRV_DELTA_SLOTS=0; delta still falls back to
+    # absolute when any gap overflows uint16.
     import os as _os
 
     slot_parts = [np.asarray(it[0]._packed[it[1]][3], np.int64)
                   for it in items]
     deltas = []
-    use_delta = _os.environ.get("HYPREDRV_DELTA_SLOTS", "0") == "1"
+    use_delta = _os.environ.get("HYPREDRV_DELTA_SLOTS", "1") != "0"
     if use_delta:
         for s in slot_parts:
             d = np.diff(s, prepend=np.int64(0))
@@ -409,6 +408,22 @@ def _batched_assemble(bounds, np_cs, slots, elane, evals, meta):
     return tuple(out)
 
 
+def _two_level_cumsum(d):
+    """Inclusive cumsum via a (rows, 4096) two-level scan — the flat
+    1-D jnp.cumsum compiles pathologically on TPU (measured 101 s for
+    2M elements vs 1.8 s for this formulation; XLA unrolls the long
+    minor-dim scan)."""
+    W = 4096
+    n = d.shape[0]
+    npad = -(-n // W) * W
+    dp = jnp.zeros(npad, jnp.int32).at[:n].set(d.astype(jnp.int32))
+    m = dp.reshape(-1, W)
+    within = jnp.cumsum(m, axis=1)
+    rows = jnp.cumsum(within[:, -1])
+    base = rows - within[:, -1]
+    return (within + base[:, None]).reshape(-1)[:n]
+
+
 @partial(jax.jit, static_argnums=(0, 1))
 def _batched_assemble_delta(ebounds, np_cs, deltas, elane, evals, meta):
     """Delta-slot variant of :func:`_batched_assemble`: per chunk, the
@@ -422,8 +437,7 @@ def _batched_assemble_delta(ebounds, np_cs, deltas, elane, evals, meta):
         e0, e1 = ebounds[i], ebounds[i + 1]
         np_c = np_cs[i]
         nflat = np_c * TILE_ROWS
-        sl = jnp.cumsum(jax.lax.slice(deltas, (e0,), (e1,))
-                        .astype(jnp.int32))
+        sl = _two_level_cumsum(jax.lax.slice(deltas, (e0,), (e1,)))
         el = jax.lax.slice(elane, (e0,), (e1,))
         lane = (jnp.zeros(nflat, jnp.int32)
                 .at[sl].set(el.astype(jnp.int32), unique_indices=True,
