@@ -88,8 +88,16 @@ def main(outdir="data"):
         ij.write_vector_ascii(os.path.join(d, "IJ.out.b"), bk)
         ij.write_dofmap_ascii(os.path.join(d, "dofmap.out"), dofmap)
         ts.append(k // 2)  # two Newton systems per timestep
+    # timestep schedule in the reference ASCII format: count line, then
+    # "timestep ls_start" pairs (ref: src/internal/linsys.c:3195-3292)
+    starts = []
+    for k, t in enumerate(ts):
+        if not starts or ts[k - 1] != t:
+            starts.append((t, k))
     with open(os.path.join(base, "timesteps.txt"), "w") as f:
-        f.write("\n".join(str(t) for t in ts) + "\n")
+        f.write(f"{len(starts)}\n")
+        for t, s in starts:
+            f.write(f"{t} {s}\n")
 
     print(f"wrote datasets under {outdir}/")
 

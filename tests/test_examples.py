@@ -117,3 +117,26 @@ def test_ex9_print_system(tmp_path):
     assert os.path.isdir(dump)
     import shutil
     shutil.rmtree(dump)
+
+
+def test_ex7_reuse_skips_setup_within_timesteps():
+    """examples/ex7-reuse.yml: per_timestep reuse over the poroseq
+    sequence — the preconditioner is rebuilt at each timestep boundary
+    (even systems, two Newton systems per timestep) and reused for the
+    odd ones, whose setup time is ~0 (ref: precon_reuse.h per_timestep
+    + timestep_filename)."""
+    from hypredrive_tpu.cli import run_one_config
+
+    collect = []
+    rc = run_one_config(os.path.join(EXDIR, "ex7-reuse.yml"),
+                        collect=collect)
+    assert rc == 0
+    entries = collect[0].stats.entries
+    assert len(entries) == 8
+    for k, e in enumerate(entries):
+        assert e.rel_res_norm < 1e-5, (k, e.rel_res_norm)
+        if k % 2 == 1:
+            # reused precon: no setup work
+            assert e.setup_time < 0.05, (k, e.setup_time)
+        else:
+            assert e.setup_time > 0.05, (k, e.setup_time)
