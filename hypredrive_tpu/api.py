@@ -101,14 +101,25 @@ class HypreDrive:
                 raise HypredrvError(
                     f"invalid timestep file header in '{ts_file}'",
                     ErrorCode.INVALID_ARG)
-            total = int(tokens[0])
+            try:
+                total = int(tokens[0])
+            except ValueError:
+                raise HypredrvError(
+                    f"invalid timestep file header in '{ts_file}'",
+                    ErrorCode.INVALID_ARG) from None
             if total <= 0 or len(tokens) < 1 + 2 * total:
                 raise HypredrvError(
                     f"invalid timestep file '{ts_file}'",
                     ErrorCode.INVALID_ARG)
             schedule = []
             for i in range(total):
-                t, s = int(tokens[1 + 2 * i]), int(tokens[2 + 2 * i])
+                try:
+                    t = int(tokens[1 + 2 * i])
+                    s = int(tokens[2 + 2 * i])
+                except ValueError:
+                    raise HypredrvError(
+                        f"invalid timestep entry in '{ts_file}' at line "
+                        f"{i + 2}", ErrorCode.INVALID_ARG) from None
                 if s < 0:
                     raise HypredrvError(
                         f"invalid timestep entry in '{ts_file}' at line "

@@ -55,3 +55,30 @@ def test_config_error_collects_messages():
 def test_distributed_sync_single_process():
     assert distributed_error_sync(int(ErrorCode.SOLVER_FAILURE)) \
         & ErrorCode.SOLVER_FAILURE
+
+
+def test_timestep_file_malformed_inputs_typed():
+    """Every malformed timestep file produces a typed HypredrvError
+    (ref: src/internal/linsys.c:3195-3292 error paths)."""
+    import tempfile, os
+    import hypredrive_tpu as hd
+    from hypredrive_tpu.core.errors import HypredrvError
+
+    cases = ["", "hello world\n", "0\n", "-5\n", "999999999\n0 0\n",
+             "3\n0 0\n1 2\n", "1\n0 -3\n", "1\n0.5 1.5\n", "1\nfoo bar\n"]
+    td = tempfile.mkdtemp()
+    for k, content in enumerate(cases):
+        p = os.path.join(td, f"c{k}.txt")
+        open(p, "w").write(content)
+        drv = hd.HypreDrive()
+        try:
+            with pytest.raises(HypredrvError):
+                drv.input_args_from_dict({
+                    "linear_system": {
+                        "generate": {"kind": "laplacian_5pt", "nx": 4},
+                        "rhs_mode": "ones", "timestep_filename": p},
+                    "solver": "pcg",
+                    "preconditioner": {"amg": {}, "reuse": {
+                        "enabled": True, "per_timestep": True}}})
+        finally:
+            drv.destroy()
