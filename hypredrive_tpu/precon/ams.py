@@ -198,6 +198,109 @@ def _ams_apply(state, r):
     return z_total
 
 
+def build_ams_state(A_host: sp.csr_matrix, G: sp.csr_matrix,
+                    coords: np.ndarray, args, dtype,
+                    mesh=None) -> AMSState:
+    """Construct the AMS state.  With ``mesh``, every operator becomes
+    a row-sharded DistEllMatrix and both auxiliary hierarchies run the
+    fully distributed setup — the apply is pure matvec composition, so
+    the same cycle code serves single-chip and mesh (the reference's
+    AMS is distributed through hypre ParCSR the same way)."""
+    from .amg.hierarchy import setup_hierarchy
+    from ..config.sections import AMG_SCHEMA
+
+    coords = np.asarray(coords, dtype=np.float64)
+    dim = coords.shape[1]
+    A_host = sp.csr_matrix(A_host)
+    G = sp.csr_matrix(G)
+
+    B_G = sp.csr_matrix(G.T @ A_host @ G)
+    B_G = B_G + 1e-12 * sp.identity(B_G.shape[0])  # gauge regularization
+    Pi = build_pi(G, coords)
+    B_Pi = sp.csr_matrix(Pi.T @ A_host @ Pi)
+    B_Pi = B_Pi + 1e-12 * sp.identity(B_Pi.shape[0])
+
+    errors = []
+    alpha_args = AMG_SCHEMA.parse(
+        dict(args.get("alpha_amg") or {}), "ams:alpha", errors) \
+        if isinstance(args.get("alpha_amg"), dict) \
+        else args.get("alpha_amg") or AMG_SCHEMA.defaults()
+    beta_args = args.get("beta_amg") or AMG_SCHEMA.defaults()
+
+    def op(M, square=False):
+        M = sp.csr_matrix(M)
+        if mesh is not None:
+            from ..parallel.dist_matrix import DistEllMatrix
+
+            return DistEllMatrix.from_csr(M, mesh, dtype=dtype)
+        return EllMatrix.from_csr(M, dtype=dtype)
+
+    dof_func_pi = (np.arange(B_Pi.shape[0]) % dim).astype(np.int64)
+    bg_state = setup_hierarchy(B_G, beta_args, dtype=dtype, mesh=mesh)
+    bpi_state = setup_hierarchy(B_Pi, alpha_args, dtype=dtype,
+                                dof_func=dof_func_pi, mesh=mesh)
+
+    cycle_type = int(args.get("cycle_type", 1))
+    # 5-level cycles (11-14) use per-component Π_d spaces
+    # (ref: ams.h cycle_type; hypre Pix/Piy/Piz)
+    comp_spaces = []
+    if needs_component_spaces(cycle_type):
+        for d in range(dim):
+            cols = np.arange(Pi.shape[1] // dim) * dim + d
+            Pd = sp.csr_matrix(Pi[:, cols])
+            B_d = sp.csr_matrix(Pd.T @ A_host @ Pd)
+            B_d = B_d + 1e-12 * sp.identity(B_d.shape[0])
+            st_d = setup_hierarchy(B_d, alpha_args, dtype=dtype,
+                                   mesh=mesh)
+            comp_spaces.append((op(Pd), op(sp.csr_matrix(Pd.T)), st_d))
+
+    # smoothing on A (ref: ams.h relax_type/relax_times/relax_weight
+    # — ℓ1-GS family maps to ℓ1-Jacobi on TPU; 16 = Chebyshev)
+    relax_type = int(args.get("relax_type", 2))
+    relax_times = max(1, int(args.get("relax_times", 1)))
+    weight = float(args.get("relax_weight", 1.0))
+    l1 = np.asarray(np.abs(A_host).sum(axis=1)).ravel()
+    d_inv_np = np.where(l1 != 0, weight / l1, 1.0)
+
+    def vec(v):
+        if mesh is not None:
+            from ..parallel.dist_matrix import pad_vector
+
+            n_sh = int(mesh.devices.size)
+            n_pad = -(-len(v) // n_sh) * n_sh
+            # pad rows carry 1.0 (identity rows of the padded A)
+            vp = np.ones(n_pad)
+            vp[:len(v)] = v
+            return pad_vector(vp, n_pad, mesh, dtype=dtype)
+        return jnp.asarray(v, dtype)
+
+    if relax_type == 16:
+        from .chebyshev import cheby_coefficients
+        from .amg.hierarchy import _power_lambda_max
+
+        diag = A_host.diagonal()
+        dj = np.where(diag != 0, 1.0 / diag, 1.0)
+        lam = _power_lambda_max(A_host, dj, 10) * 1.1
+        theta, delta, rhos = cheby_coefficients(lam, 0.3, 2)
+        smooth = (vec(dj), jnp.asarray(theta, dtype),
+                  jnp.asarray(delta, dtype), jnp.asarray(rhos, dtype))
+        smoother = "chebyshev"
+    else:
+        smooth = (vec(d_inv_np),)
+        smoother = "l1-jacobi"
+
+    return AMSState(
+        op(A_host, square=True), smooth,
+        op(G), op(sp.csr_matrix(G.T)),
+        op(Pi), op(sp.csr_matrix(Pi.T)),
+        bg_state, bpi_state,
+        comp_spaces=tuple(comp_spaces),
+        cycle_type=cycle_type,
+        relax_times=relax_times,
+        smoother=smoother,
+    )
+
+
 class AMSPrecon(Preconditioner):
     method = "ams"
     apply_fn = staticmethod(_ams_apply)
@@ -214,80 +317,6 @@ class AMSPrecon(Preconditioner):
                 "AMS requires the discrete gradient (set_discrete_gradient)"
                 " and vertex coordinates (set_coordinates)",
                 ErrorCode.INVALID_PRECON)
-        from .amg.hierarchy import setup_hierarchy
-        from ..config.sections import AMG_SCHEMA
-
-        dtype = system.dtype
-        coords = np.asarray(coords, dtype=np.float64)
-        dim = coords.shape[1]
-
-        B_G = sp.csr_matrix(G.T @ A_host @ G)
-        B_G = B_G + 1e-12 * sp.identity(B_G.shape[0])  # gauge regularization
-        Pi = build_pi(G, coords)
-        B_Pi = sp.csr_matrix(Pi.T @ A_host @ Pi)
-        B_Pi = B_Pi + 1e-12 * sp.identity(B_Pi.shape[0])
-
-        errors = []
-        alpha_args = AMG_SCHEMA.parse(
-            dict(self.args.get("alpha_amg") or {}), "ams:alpha", errors) \
-            if isinstance(self.args.get("alpha_amg"), dict) \
-            else self.args.get("alpha_amg") or AMG_SCHEMA.defaults()
-        beta_args = self.args.get("beta_amg") or AMG_SCHEMA.defaults()
-
-        dof_func_pi = (np.arange(B_Pi.shape[0]) % dim).astype(np.int64)
-        bg_state = setup_hierarchy(B_G, beta_args, dtype=dtype)
-        bpi_state = setup_hierarchy(B_Pi, alpha_args, dtype=dtype,
-                                    dof_func=dof_func_pi)
-
-        cycle_type = int(self.args.get("cycle_type", 1))
-        # 5-level cycles (11-14) use per-component Π_d spaces
-        # (ref: ams.h cycle_type; hypre Pix/Piy/Piz)
-        comp_spaces = []
-        if needs_component_spaces(cycle_type):
-            for d in range(dim):
-                cols = np.arange(Pi.shape[1] // dim) * dim + d
-                Pd = sp.csr_matrix(Pi[:, cols])
-                B_d = sp.csr_matrix(Pd.T @ A_host @ Pd)
-                B_d = B_d + 1e-12 * sp.identity(B_d.shape[0])
-                st_d = setup_hierarchy(B_d, alpha_args, dtype=dtype)
-                comp_spaces.append((
-                    EllMatrix.from_csr(Pd, dtype=dtype),
-                    EllMatrix.from_csr(sp.csr_matrix(Pd.T), dtype=dtype),
-                    st_d))
-
-        # smoothing on A (ref: ams.h relax_type/relax_times/relax_weight
-        # — ℓ1-GS family maps to ℓ1-Jacobi on TPU; 16 = Chebyshev)
-        relax_type = int(self.args.get("relax_type", 2))
-        relax_times = max(1, int(self.args.get("relax_times", 1)))
-        weight = float(self.args.get("relax_weight", 1.0))
-        l1 = np.asarray(np.abs(A_host).sum(axis=1)).ravel()
-        d_inv_np = np.where(l1 != 0, weight / l1, 1.0)
-        if relax_type == 16:
-            from .chebyshev import cheby_coefficients
-            from .amg.hierarchy import _power_lambda_max
-
-            diag = A_host.diagonal()
-            dj = np.where(diag != 0, 1.0 / diag, 1.0)
-            lam = _power_lambda_max(A_host, dj, 10) * 1.1
-            theta, delta, rhos = cheby_coefficients(lam, 0.3, 2)
-            smooth = (jnp.asarray(dj, dtype), jnp.asarray(theta, dtype),
-                      jnp.asarray(delta, dtype), jnp.asarray(rhos, dtype))
-            smoother = "chebyshev"
-        else:
-            smooth = (jnp.asarray(d_inv_np, dtype),)
-            smoother = "l1-jacobi"
-
-        self.state = AMSState(
-            EllMatrix.from_csr(A_host, dtype=dtype),
-            smooth,
-            EllMatrix.from_csr(G, dtype=dtype),
-            EllMatrix.from_csr(sp.csr_matrix(G.T), dtype=dtype),
-            EllMatrix.from_csr(Pi, dtype=dtype),
-            EllMatrix.from_csr(sp.csr_matrix(Pi.T), dtype=dtype),
-            bg_state, bpi_state,
-            comp_spaces=tuple(comp_spaces),
-            cycle_type=cycle_type,
-            relax_times=relax_times,
-            smoother=smoother,
-        )
+        self.state = build_ams_state(A_host, G, coords, self.args,
+                                     system.dtype)
         self.is_setup = True
