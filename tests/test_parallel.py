@@ -626,3 +626,51 @@ def test_dist_ams_matches_single_chip(mesh):
     x = np.asarray(outN[0])[:n]
     assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-6
     assert abs(itN - it1) <= 1
+
+
+def test_dist_ads_matches_single_chip(mesh):
+    """ADS on the mesh: nested distributed AMS on the curl space +
+    distributed Π_RT hierarchy; iteration parity with single-chip ADS
+    on the grad-div system."""
+    from hypredrive_tpu.ops.csr import graddiv_face_system
+    from hypredrive_tpu.precon.ads import build_ads_state, _ads_apply
+    from hypredrive_tpu.precon.ams import _ams_apply
+    from hypredrive_tpu.config.sections import ADS_SCHEMA
+    from hypredrive_tpu.parallel.dist_matrix import pad_vector
+    from hypredrive_tpu.ops.device_matrix import EllMatrix
+    from hypredrive_tpu.solvers.pcg import _pcg_core
+
+    A, C, G, coords = graddiv_face_system(4, eps=0.1)
+    n = A.shape[0]
+    args = ADS_SCHEMA.defaults()
+    b = A @ np.linspace(0.2, 1.0, n)
+
+    st1 = build_ads_state(A, C, G, coords, args, jnp.float64)
+    A1 = EllMatrix.from_csr(A, dtype=jnp.float64)
+
+    @jax.jit
+    def solve1(A1, st, bb, xx):
+        return _pcg_core(lambda v: A1.matvec(v),
+                         lambda r: _ads_apply(st, r),
+                         bb, xx, jnp.asarray(1e-8), jnp.asarray(0.0),
+                         300, True, 0)
+
+    it1 = int(solve1(A1, st1, jnp.asarray(b), jnp.zeros(n))[1])
+
+    stN = build_ads_state(A, C, G, coords, args, jnp.float64, mesh=mesh)
+    AN = stN.A
+    bN = pad_vector(b, AN.shape[0], mesh)
+    xN = pad_vector(np.zeros(n), AN.shape[0], mesh)
+
+    @jax.jit
+    def solveN(AN, st, bb, xx):
+        return _pcg_core(lambda v: AN.matvec(v),
+                         lambda r: _ads_apply(st, r),
+                         bb, xx, jnp.asarray(1e-8), jnp.asarray(0.0),
+                         300, True, 0)
+
+    outN = solveN(AN, stN, bN, xN)
+    itN = int(outN[1])
+    x = np.asarray(outN[0])[:n]
+    assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-6
+    assert abs(itN - it1) <= 1
