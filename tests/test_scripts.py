@@ -175,3 +175,49 @@ def test_cli_profile_flag_emits_annotated_trace(tmp_path):
     assert r2.returncode == 0, r2.stderr
     assert "hypredrv::solve" in r2.stdout
     assert "hypredrv::prec" in r2.stdout
+
+
+def test_repo_hygiene_scripts():
+    """check_source_sync / list_public_apis / check_symbol_prefix run
+    clean on the tree (reference analogues: scripts/check_source_sync.py,
+    list_public_apis.sh, check_symbol_prefix.sh)."""
+    r = subprocess.run([sys.executable,
+                        os.path.join(SCRIPTS, "check_source_sync.py")],
+                       capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = subprocess.run(["bash", os.path.join(SCRIPTS, "list_public_apis.sh")],
+                       capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 0 and len(r.stdout.split()) >= 79, r.stdout
+    r = subprocess.run(["bash", os.path.join(SCRIPTS,
+                                             "check_symbol_prefix.sh")],
+                       capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_analyze_coverage_gates(tmp_path):
+    """analyze_coverage.py consumes a coverage-json report and enforces
+    the per-file + total gates."""
+    import json
+
+    rep = {
+        "files": {
+            "hypredrive_tpu/good.py": {
+                "summary": {"percent_covered": 92.0}},
+            "hypredrive_tpu/bad.py": {
+                "summary": {"percent_covered": 12.0}},
+        },
+        "totals": {"percent_covered": 52.0},
+    }
+    p = tmp_path / "cov.json"
+    p.write_text(json.dumps(rep))
+    r = subprocess.run([sys.executable,
+                        os.path.join(SCRIPTS, "analyze_coverage.py"),
+                        str(p), "--min-file", "50", "--min-total", "75"],
+                       capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 1
+    assert "bad.py" in r.stdout and "total 52.0%" in r.stdout
+    r = subprocess.run([sys.executable,
+                        os.path.join(SCRIPTS, "analyze_coverage.py"),
+                        str(p), "--min-file", "10", "--min-total", "50"],
+                       capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 0, r.stdout
