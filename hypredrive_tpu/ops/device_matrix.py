@@ -32,6 +32,13 @@ import scipy.sparse as sp
 DIA_MIN_FRAC = 0.25
 DIA_MAX_DIAGS = 48
 
+# operators at most this many ELEMENTS dense (rows*cols) are stored as
+# plain dense arrays on accelerator backends: the coarse AMG levels
+# (n <= ~250) cost more in gather-kernel invocation overhead than a
+# single MXU/VPU matmul row (measured r5: 4-5 us/matvec for a 192-row
+# operator vs ~1 us dense)
+DENSE_MAX_ELEMENTS = 1 << 16
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -80,11 +87,15 @@ class EllMatrix:
     # tile relayout on TPU, and XLA does not hoist it out of solver
     # loops — computing it per matvec cost ~25% of the SpMV (round 5)
     dia3: Optional[jnp.ndarray] = None
+    # dense storage for tiny operators (see DENSE_MAX_ELEMENTS); when
+    # set, every kernel short-circuits to plain jnp ops
+    dense: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         gch = self.gop.tree_children() if self.gop is not None else ()
         children = (self.cols, self.vals, self.tail_rows, self.tail_cols,
-                    self.tail_vals, self.dia_data, self.dia3) + tuple(gch)
+                    self.tail_vals, self.dia_data, self.dia3,
+                    self.dense) + tuple(gch)
         # nnz is pure bookkeeping (stats/summaries) — wrap it so pytree
         # aux equality ignores its value and same-shape hierarchies from
         # a sequence share one jit cache entry
@@ -94,16 +105,16 @@ class EllMatrix:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        cols, vals, tr, tc, tv, dia, dia3 = children[:7]
+        cols, vals, tr, tc, tv, dia, dia3, dense = children[:8]
         shape, nnz, dia_offsets, gop = aux
         nnz = int(nnz)    # unwrap _TraceNeutralInt (its __eq__ is aux-only)
         if gop is not None:
             import copy
 
             gop = copy.copy(gop)
-            gop.set_children(children[7:])
+            gop.set_children(children[8:])
         return cls(cols, vals, tr, tc, tv, shape, nnz, dia, dia_offsets,
-                   gop, dia3)
+                   gop, dia3, dense)
 
     # -- construction -----------------------------------------------------
 
@@ -123,6 +134,24 @@ class EllMatrix:
         if force_dia_offsets is not None or k is not None or min_tail:
             layout = "ell"
         A = sp.csr_matrix(A)
+        n_r, n_c = A.shape
+        if layout == "dense" or (
+                layout == "auto" and n_r * n_c <= DENSE_MAX_ELEMENTS
+                and A.nnz > 0):
+            from .pallas_spmv import _backend_supports_pallas
+
+            if layout == "dense" or _backend_supports_pallas():
+                e = np.empty(0)
+                return cls(
+                    cols=jnp.asarray(np.zeros((n_r, 0), np.int32)),
+                    vals=jnp.asarray(np.zeros((n_r, 0)), dtype=dtype),
+                    tail_rows=jnp.asarray(e, jnp.int32),
+                    tail_cols=jnp.asarray(e, jnp.int32),
+                    tail_vals=jnp.asarray(e, dtype),
+                    shape=(n_r, n_c), nnz=int(A.nnz),
+                    dense=jnp.asarray(np.asarray(A.todense()),
+                                      dtype=dtype),
+                )
         # scipy caches the canonical-format check — skipping the
         # sort/dedup passes when already canonical (RAP/interp outputs
         # are) was worth ~0.2 s of the 64³ AMG setup
@@ -338,6 +367,10 @@ class EllMatrix:
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         """y = A @ x (jit-safe)."""
         n_rows, n_cols = self.shape
+        if self.dense is not None:
+            return jnp.dot(self.dense, x.astype(self.dense.dtype),
+                           preferred_element_type=self.dense.dtype
+                           ).astype(x.dtype)
         y = None
         if self.dia_data is not None:
             ds = self._dia_pallas()
@@ -383,6 +416,8 @@ class EllMatrix:
     def diagonal(self) -> jnp.ndarray:
         """Extract diag(A) on device."""
         n = self.shape[0]
+        if self.dense is not None:
+            return jnp.diagonal(self.dense)
         d = jnp.zeros(n, self.dtype)
         if self.dia_data is not None and 0 in self.dia_offsets:
             d = d + self.dia_data[self.dia_offsets.index(0)]
@@ -401,6 +436,8 @@ class EllMatrix:
 
     def row_l1_norms(self) -> jnp.ndarray:
         """Σ_j |a_ij| per row — the ℓ1-Jacobi scaling vector."""
+        if self.dense is not None:
+            return jnp.sum(jnp.abs(self.dense), axis=1)
         y = jnp.zeros(self.shape[0], self.dtype)
         if self.dia_data is not None:
             y = y + jnp.sum(jnp.abs(self.dia_data), axis=0)
@@ -418,6 +455,15 @@ class EllMatrix:
               ) -> "EllMatrix":
         """Diagonal scaling Sl·A·Sr as a new matrix (same structure)."""
         n_rows, n_cols = self.shape
+        if self.dense is not None:
+            import dataclasses
+
+            d = self.dense
+            if sl is not None:
+                d = d * sl[:, None]
+            if sr is not None:
+                d = d * sr[None, :]
+            return dataclasses.replace(self, dense=d)
         vals = self.vals
         tail_vals = self.tail_vals
         dia = self.dia_data
@@ -452,6 +498,11 @@ class EllMatrix:
     def to_csr(self) -> sp.csr_matrix:
         """Host round-trip (diagnostics / dumps)."""
         n_rows, n_cols = self.shape
+        if self.dense is not None:
+            B = sp.csr_matrix(np.asarray(self.dense))
+            B.eliminate_zeros()
+            B.sort_indices()
+            return B
         parts_r, parts_c, parts_v = [], [], []
         if self.dia_data is not None:
             dd = np.asarray(self.dia_data)

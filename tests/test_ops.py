@@ -130,3 +130,35 @@ def test_row_partition():
     assert list(off) == [0, 4, 7, 10]
     off = row_partition(8, 4)
     assert list(off) == [0, 2, 4, 6, 8]
+
+
+def test_dense_small_operator_layout(rng):
+    """Tiny operators (coarse AMG levels) stored dense: every kernel
+    matches the sparse formulation (layout='dense' forces the path the
+    accelerator backends take automatically under DENSE_MAX_ELEMENTS)."""
+    A = sp.random(90, 90, density=0.2, random_state=7, format="csr")
+    A = sp.csr_matrix(A + sp.identity(90))
+    E = EllMatrix.from_csr(A, layout="dense")
+    assert E.dense is not None and not E.has_ell and not E.has_tail
+    x = rng.standard_normal(90)
+    np.testing.assert_allclose(np.asarray(E.matvec(jnp.asarray(x))),
+                               A @ x, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(E.diagonal()), A.diagonal(),
+                               rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(E.row_l1_norms()),
+        np.asarray(np.abs(A).sum(axis=1)).ravel(), rtol=1e-12)
+    sl = rng.uniform(0.5, 2.0, 90)
+    sr = rng.uniform(0.5, 2.0, 90)
+    Es = E.scale(jnp.asarray(sl), jnp.asarray(sr))
+    As = sp.csr_matrix(sp.diags(sl) @ A @ sp.diags(sr))
+    np.testing.assert_allclose(np.asarray(Es.matvec(jnp.asarray(x))),
+                               As @ x, rtol=1e-12)
+    B = E.to_csr()
+    assert (abs(A - B) > 1e-14).nnz == 0
+    # rectangular (P-like) dense operators work too
+    P = sp.random(90, 24, density=0.3, random_state=8, format="csr")
+    Ep = EllMatrix.from_csr(sp.csr_matrix(P), layout="dense")
+    y = rng.standard_normal(24)
+    np.testing.assert_allclose(np.asarray(Ep.matvec(jnp.asarray(y))),
+                               P @ y, rtol=1e-12)
