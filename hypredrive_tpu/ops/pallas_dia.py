@@ -2,9 +2,11 @@
 
 The hybrid device matrix (ops/device_matrix.py) stores stencil-like
 operators as dense diagonals; the XLA formulation (shifted
-dynamic-slices + multiply-adds) measures ~85 GB/s effective on v5e —
-7x under the 600 GB/s stream roofline — because every diagonal's
-shifted x view and partial sum materializes through HBM.
+dynamic-slices + multiply-adds) runs far below the HBM roofline
+because every diagonal's shifted x view and partial sum materializes
+through HBM.  (The v5e HBM triad slope-times at ~690 GB/s; this kernel
+reaches ~790 GB/s effective on the 64³ stencil because the
+loop-invariant diagonal blocks ride VMEM.)
 
 This kernel runs the whole accumulation in VMEM:
 
