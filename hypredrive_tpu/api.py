@@ -391,6 +391,28 @@ class HypreDrive:
     def get_level_records(self, name=None):
         return self.stats.level_records(name)
 
+    def stats_level_get_count(self, name: str) -> int:
+        """Completed frames of a level name
+        (ref: HYPREDRV_StatsLevelGetCount)."""
+        return len(self.stats.level_records(name))
+
+    def stats_level_get_entry_summary(self, name: str, index: int):
+        """(num_solves, linear_iters, setup_time, solve_time) of one
+        completed level frame — the per-frame rollup the adaptive reuse
+        engine's completed_level history source consumes
+        (ref: HYPREDRV_StatsLevelGetEntry / StatsLevelGetEntrySummary)."""
+        recs = self.stats.level_records(name)
+        if not 0 <= index < len(recs):
+            raise HypredrvError(
+                f"level '{name}' has no entry {index}",
+                ErrorCode.INVALID_ARG)
+        e0, e1 = recs[index]["entries"]
+        entries = self.stats.entries[e0:e1]
+        return (len(entries),
+                sum(e.iters for e in entries),
+                sum(e.setup_time for e in entries),
+                sum(e.solve_time for e in entries))
+
     def stats_level_print(self):
         text = self.stats.level_table()
         if text:

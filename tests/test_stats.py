@@ -151,3 +151,37 @@ def test_level_aggregate_summary():
     txt = st.level_table()
     assert "Aggregate Summary (timestep):" in txt
     assert "Total number of linear iterations:     30" in txt
+
+
+def test_stats_level_entry_summary_getters():
+    """stats_level_get_count / get_entry_summary mirror the reference's
+    HYPREDRV_StatsLevelGetCount/GetEntry rollups."""
+    import hypredrive_tpu as hd
+    from hypredrive_tpu.core.errors import HypredrvError
+
+    drv = hd.HypreDrive()
+    try:
+        drv.input_args_from_dict({
+            "linear_system": {"generate": {"kind": "laplacian_5pt",
+                                           "nx": 6}, "rhs_mode": "ones"},
+            "solver": {"pcg": {"relative_tol": 1e-8}},
+            "preconditioner": "jacobi"})
+        for t in range(2):
+            drv.annotate_level_begin("timestep", t)
+            drv.linear_system_build()
+            drv.reset_initial_guess()
+            drv.precon_create(); drv.linear_solver_create()
+            drv.linear_solver_setup()
+            res = drv.linear_solver_apply()
+            drv.precon_destroy(); drv.linear_solver_destroy()
+            drv.annotate_level_end("timestep", t)
+        assert drv.stats_level_get_count("timestep") == 2
+        ns, iters, setup, solve = drv.stats_level_get_entry_summary(
+            "timestep", 0)
+        assert ns == 1 and iters == res.iters
+        assert solve > 0.0
+        import pytest as _pytest
+        with _pytest.raises(HypredrvError):
+            drv.stats_level_get_entry_summary("timestep", 5)
+    finally:
+        drv.destroy()
