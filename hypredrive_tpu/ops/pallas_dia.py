@@ -104,16 +104,95 @@ def _dia_matvec_call(qr, PLO, n_tiles, B, L, xs_sub, interpret,
     )(dia3, x2)
 
 
+def _make_dia_kernel_windowed(D, qr, min_q, base_off, B, W):
+    """Windowed-x variant for operands past the whole-x VMEM budget:
+    x (padded, HBM-resident) is DMA'd per grid step as the (W, 128)
+    halo window of output tile i, double-buffered against the compute
+    of tile i-1.  All diagonal reads become STATIC in-window slices
+    (in-window offset = q − min_q)."""
+    def _kernel(dia_ref, x_hbm, y_ref, xw, sems):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+
+        def window_dma(slot, tile):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(tile * B + base_off, W)], xw.at[slot],
+                sems.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            window_dma(0, 0).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            window_dma((i + 1) % 2, i + 1).start()
+
+        window_dma(i % 2, i).wait()
+        cur = i % 2
+        acc = None
+        for d in range(D):
+            q, r = qr[d]
+            base = q - min_q                     # static in-window
+            w0 = xw[cur, base:base + B, :]
+            if r:
+                w1 = xw[cur, base + 1:base + 1 + B, :]
+                sh = jnp.concatenate([w0[:, r:], w1[:, :r]], axis=1)
+            else:
+                sh = w0
+            term = dia_ref[d] * sh
+            acc = term if acc is None else acc + term
+        y_ref[...] = acc
+    return _kernel
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _dia_matvec_call_windowed(qr, min_q, base_off, n_tiles, B, W,
+                              interpret, dia3, x_pad):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D = dia3.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((D, B, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),        # x stays HBM
+        ],
+        out_specs=pl.BlockSpec((B, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, W, 128), dia3.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    return pl.pallas_call(
+        _make_dia_kernel_windowed(D, qr, min_q, base_off, B, W),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * B, 128), dia3.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(dia3, x_pad)
+
+
 class DiaSpMV:
     """Precomputed static layout for one (offsets, shape) DIA operand.
 
-    VMEM budget: x operand + x scratch + double-buffered (D, B, 128)
-    blocks + y tiles; x is (n_cols + margins) floats twice — usable to
-    ~1.5M columns in f32.  Larger operands fall back to the XLA path
-    (``fits`` False).
+    Two kernel modes by operand size:
+
+    * whole-x (default): x copied once into a persistent VMEM scratch —
+      usable to ~1.5M columns in f32;
+    * windowed-x: x stays in HBM (pre-padded with the diagonal margins)
+      and each grid step double-buffer-DMAs its (B + q-span, 128) halo
+      window — usable until the window itself outgrows VMEM (≈500³
+      grids for 7-point stencils).
+
+    Beyond both, ``fits`` is False and the XLA path serves.
     """
 
     VMEM_X_LIMIT = 3 << 20        # x elements (operand + scratch) budget
+    VMEM_WINDOW_LIMIT = 1 << 20   # windowed mode: elements per window x2
     MAX_BLOCK_SUBLANES = 256      # ~0.9 MB/diag-block at D=7 f32
 
     def __init__(self, dia_offsets, n_rows: int, n_cols: int, dtype,
@@ -150,7 +229,20 @@ class DiaSpMV:
         # (n_tiles-1)*B + (B-1) + max_q + PLO + 1 inclusive.
         need = self.out_sub + max_q + self.PLO + 2
         self.xs_sub = max(need, self.L + self.PLO + 1)
-        self.fits = ((self.xs_sub + self.L) * 128 <= self.VMEM_X_LIMIT
+        whole_ok = (self.xs_sub + self.L) * 128 <= self.VMEM_X_LIMIT
+        # windowed mode: per-tile halo window of B + q-span (+2 for the
+        # lane-rotation carry) sublanes, double-buffered; window base
+        # for tile i is i*B + base_off in the padded operand
+        self.min_q = min_q
+        self.base_off = min_q + self.PLO         # = max(min_q, 0)
+        self.W = self.B + (max_q - min_q) + 2
+        # padded operand length: last window end, and the real x data
+        self.win_total = max(
+            self.out_sub + self.base_off + (self.W - self.B),
+            self.L + self.PLO)
+        windowed_ok = 2 * self.W * 128 <= self.VMEM_WINDOW_LIMIT
+        self.windowed = (not whole_ok) and windowed_ok
+        self.fits = ((whole_ok or windowed_ok)
                      and self.dtype.itemsize == 4)
 
     def pad_dia(self, dia_data) -> jnp.ndarray:
@@ -164,14 +256,25 @@ class DiaSpMV:
         return d.reshape(D, self.out_sub, 128)
 
     def __call__(self, dia3: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        xlen = self.L * 128
         xv = x.astype(self.dtype)
-        if xlen != self.n_cols:
-            xv = jnp.concatenate(
-                [xv, jnp.zeros(xlen - self.n_cols, self.dtype)])
-        y = _dia_matvec_call(self.qr, self.PLO, self.n_tiles, self.B,
-                             self.L, self.xs_sub, self.interpret,
-                             dia3, xv.reshape(self.L, 128))
+        if self.windowed:
+            # pad x in HBM with the diagonal margins so every window
+            # read [i*B + base_off, +W) is in range
+            total = self.win_total
+            xp = jnp.zeros(total * 128, self.dtype)
+            xp = jax.lax.dynamic_update_slice(xp, xv, (self.PLO * 128,))
+            y = _dia_matvec_call_windowed(
+                self.qr, self.min_q, self.base_off, self.n_tiles,
+                self.B, self.W, self.interpret, dia3,
+                xp.reshape(total, 128))
+        else:
+            xlen = self.L * 128
+            if xlen != self.n_cols:
+                xv = jnp.concatenate(
+                    [xv, jnp.zeros(xlen - self.n_cols, self.dtype)])
+            y = _dia_matvec_call(self.qr, self.PLO, self.n_tiles, self.B,
+                                 self.L, self.xs_sub, self.interpret,
+                                 dia3, xv.reshape(self.L, 128))
         y = y.reshape(-1)
         if self.out_sub * 128 != self.n_rows:
             y = y[:self.n_rows]

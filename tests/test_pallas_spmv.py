@@ -253,3 +253,38 @@ def test_pallas_dia_matvec_matches_xla():
                 (dd[i][ok], (rows[ok], cols[ok])), shape=A.shape)
         y_ref = dia_csr @ x.astype(np.float64)
         assert np.allclose(y_pl, y_ref, atol=1e-4 * max(1, np.abs(y_ref).max()))
+
+
+def test_pallas_dia_windowed_matches_whole():
+    """The windowed-x DIA kernel (HBM-resident x, double-buffered halo
+    windows — the >1.5M-column mode) matches the whole-x kernel and the
+    scipy reference, including negative/positive/unaligned offsets and
+    all-positive-offset operands (window base_off path)."""
+    import scipy.sparse as sp
+    from hypredrive_tpu.ops.pallas_dia import DiaSpMV
+    from hypredrive_tpu.ops.device_matrix import from_csr
+
+    rng = np.random.default_rng(5)
+    cases = []
+    n = 3000
+    diags = [0, 1, -1, 137, -129, 255, -1200]
+    mats = [sp.diags(rng.standard_normal(n - abs(o)), o, shape=(n, n))
+            for o in diags]
+    cases.append(sp.csr_matrix(sum(mats).tocsr(), dtype=np.float32))
+    # all-positive offsets exercise base_off > 0
+    mats = [sp.diags(rng.standard_normal(n - o), o, shape=(n, n))
+            for o in (3, 130, 300)]
+    cases.append(sp.csr_matrix(sum(mats).tocsr(), dtype=np.float32))
+    for A in cases:
+        E = from_csr(A, dtype=jnp.float32, layout="ell")
+        assert E.dia_data is not None
+        x = rng.standard_normal(A.shape[1]).astype(np.float32)
+        ds = DiaSpMV(E.dia_offsets, A.shape[0], A.shape[1], jnp.float32,
+                     interpret=True)
+        ds.windowed = True                 # force the windowed mode
+        y_win = np.asarray(ds(ds.pad_dia(E.dia_data), jnp.asarray(x)))
+        ds2 = DiaSpMV(E.dia_offsets, A.shape[0], A.shape[1], jnp.float32,
+                      interpret=True)
+        assert not ds2.windowed
+        y_whole = np.asarray(ds2(ds2.pad_dia(E.dia_data), jnp.asarray(x)))
+        np.testing.assert_allclose(y_win, y_whole, rtol=1e-5, atol=1e-5)
