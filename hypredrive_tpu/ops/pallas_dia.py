@@ -192,7 +192,10 @@ class DiaSpMV:
     """
 
     VMEM_X_LIMIT = 3 << 20        # x elements (operand + scratch) budget
-    VMEM_WINDOW_LIMIT = 1 << 20   # windowed mode: elements per window x2
+    # windowed mode: double-buffered windows + double-buffered diagonal
+    # blocks must share the ~16 MB scoped VMEM (byte-accurate check in
+    # __init__; reaches ~500³ 7-point grids)
+    VMEM_TOTAL_BYTES = 14 << 20
     MAX_BLOCK_SUBLANES = 256      # ~0.9 MB/diag-block at D=7 f32
 
     def __init__(self, dia_offsets, n_rows: int, n_cols: int, dtype,
@@ -240,7 +243,11 @@ class DiaSpMV:
         self.win_total = max(
             self.out_sub + self.base_off + (self.W - self.B),
             self.L + self.PLO)
-        windowed_ok = 2 * self.W * 128 <= self.VMEM_WINDOW_LIMIT
+        win_bytes = 2 * self.W * 128 * 4
+        dia_bytes = 2 * D * self.B * 128 * 4
+        out_bytes = 2 * self.B * 128 * 4
+        windowed_ok = (win_bytes + dia_bytes + out_bytes
+                       <= self.VMEM_TOTAL_BYTES)
         self.windowed = (not whole_ok) and windowed_ok
         self.fits = ((whole_ok or windowed_ok)
                      and self.dtype.itemsize == 4)
