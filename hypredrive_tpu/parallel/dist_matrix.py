@@ -68,17 +68,25 @@ class DistEllMatrix:
     nnz: int
     local_max: int                   # padded col-shard size (x_ext locals)
     ext_size: int
+    # per-shard kernel-layout diagonals ((n_shards, D, S, 128), see
+    # pallas_dia.dia3): built once at construction so the shard-local
+    # Pallas DIA matvec on real TPU meshes does not pay the
+    # (D, n) → (D, S, 128) relayout per call (the single-chip fix of
+    # round 5, mirrored for the mesh)
+    dia3: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         return ((self.dia_data, self.cols, self.vals, self.tail_rows,
-                 self.tail_cols, self.tail_vals, self.send_idx),
+                 self.tail_cols, self.tail_vals, self.send_idx,
+                 self.dia3),
                 (self.mesh, self.dia_offsets, self.offsets, self.shape,
                  self.orig_shape, self.nnz, self.local_max, self.ext_size))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        dia, cols, vals, tr, tc, tv, send_idx = children
-        return cls(dia, cols, vals, tr, tc, tv, send_idx, *aux)
+        dia, cols, vals, tr, tc, tv, send_idx, dia3 = children
+        return cls(dia, cols, vals, tr, tc, tv, send_idx, *aux,
+                   dia3=dia3)
 
     @property
     def dtype(self):
@@ -222,8 +230,20 @@ class DistEllMatrix:
                 jnp.stack([getter(h) for h in hybrids]), sharding)
 
         dia = None
+        dia3 = None
         if union_offsets:
             dia = stack(lambda h: h.dia_data, rows_sh3)
+            # kernel-layout copy for the shard-local Pallas DIA path
+            # (geometry is identical across shards: pinned structure)
+            from ..ops.pallas_dia import DiaSpMV
+
+            ds = DiaSpMV(union_offsets, rows_max, plan.ext_size, dtype)
+            if ds.fits and jnp.dtype(dtype).itemsize == 4:
+                rows_sh4 = NamedSharding(mesh, P(ROWS_AXIS, None, None,
+                                                 None))
+                dia3 = jax.device_put(
+                    jnp.stack([ds.pad_dia(h.dia_data) for h in hybrids]),
+                    rows_sh4)
         cols = stack(lambda h: h.cols, rows_sh3)
         vals = stack(lambda h: h.vals, rows_sh3)
         tr = stack(lambda h: h.tail_rows, rows_sh2)
@@ -239,20 +259,21 @@ class DistEllMatrix:
             dia_offsets=union_offsets, offsets=plan.offsets,
             shape=(rows_pad, cols_pad), orig_shape=orig_shape,
             nnz=nnz, local_max=plan.local_max,
-            ext_size=plan.ext_size)
+            ext_size=plan.ext_size, dia3=dia3)
 
     # ------------------------------------------------------------------
     # kernels
     # ------------------------------------------------------------------
 
-    def _local(self, dia, cols, vals, tr, tc, tv) -> EllMatrix:
+    def _local(self, dia, cols, vals, tr, tc, tv, dia3=None) -> EllMatrix:
         rows_max = self.shape[0] // self.n_shards
         return EllMatrix(
             cols=cols[0], vals=vals[0],
             tail_rows=tr[0], tail_cols=tc[0], tail_vals=tv[0],
             shape=(rows_max, self.ext_size), nnz=self.nnz,
             dia_data=dia[0] if dia is not None else None,
-            dia_offsets=self.dia_offsets)
+            dia_offsets=self.dia_offsets,
+            dia3=dia3[0] if dia3 is not None else None)
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         """y = A @ x, x sharded P('rows') with length shape[1]."""
@@ -263,13 +284,13 @@ class DistEllMatrix:
         offsets = self.offsets
         local_max = self.local_max
         has_dia = self.dia_data is not None
+        has_dia3 = self.dia3 is not None
 
         def kernel(*args):
-            if has_dia:
-                dia, cols, vals, tr, tc, tv, x_loc, *send_idx = args
-            else:
-                cols, vals, tr, tc, tv, x_loc, *send_idx = args
-                dia = None
+            args = list(args)
+            dia = args.pop(0) if has_dia else None
+            dia3 = args.pop(0) if has_dia3 else None
+            cols, vals, tr, tc, tv, x_loc, *send_idx = args
             parts = [x_loc]
             if local_max > local_cols:
                 parts.append(jnp.zeros(local_max - local_cols, x_loc.dtype))
@@ -278,17 +299,20 @@ class DistEllMatrix:
                 recv = jax.lax.ppermute(buf, ROWS_AXIS, perm[k])
                 parts.append(recv)
             x_ext = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-            E = self._local(dia, cols, vals, tr, tc, tv)
+            E = self._local(dia, cols, vals, tr, tc, tv, dia3)
             return E.matvec(x_ext)
 
+        spec4 = P(ROWS_AXIS, None, None, None)
         spec3 = P(ROWS_AXIS, None, None)
         spec2 = P(ROWS_AXIS, None)
         in_specs = (((spec3,) if has_dia else ())
+                    + ((spec4,) if has_dia3 else ())
                     + (spec3, spec3, spec2, spec2, spec2, P(ROWS_AXIS))
                     + tuple(spec2 for _ in offsets))
         f = shard_map(kernel, mesh=self.mesh, in_specs=in_specs,
                       out_specs=P(ROWS_AXIS))
         args = (((self.dia_data,) if has_dia else ())
+                + ((self.dia3,) if has_dia3 else ())
                 + (self.cols, self.vals, self.tail_rows, self.tail_cols,
                    self.tail_vals, x) + self.send_idx)
         return f(*args)
