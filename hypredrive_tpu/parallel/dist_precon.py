@@ -57,7 +57,7 @@ def setup_mgr_dist(A_parts: Sequence[sp.csr_matrix], args,
     from ..precon.mgr import (MGRLevel, MGRState, _resolve_f_dofs)
     from ..config.sections import AMG_SCHEMA
     from .dist_matrix import DistEllMatrix, pad_vector
-    from .dist_setup import setup_hierarchy_dist
+    from .dist_setup import setup_hierarchy_dist, supports_dist_setup
     from .mesh import ROWS_AXIS
 
     if dtype is None:
@@ -303,8 +303,23 @@ def setup_mgr_dist(A_parts: Sequence[sp.csr_matrix], args,
             fmask_dev = pad_vector(f_mask_np.astype(np.float64), n, mesh,
                                    dtype=dtype)
             if f_kind == "masked-amg":
+                perrs: List[str] = []
                 f_args = AMG_SCHEMA.parse(dict(cfg.get("f_sub") or {}),
-                                          "mgr:f_relax:amg", [])
+                                          "mgr:f_relax:amg", perrs)
+                if perrs:
+                    from ..core.errors import HypredrvError, ErrorCode
+
+                    raise HypredrvError("; ".join(perrs),
+                                        ErrorCode.INVALID_VAL)
+                if not supports_dist_setup(f_args):
+                    from ..core.logging import logger
+
+                    logger.warn(
+                        "mgr f_relaxation:amg sub-config outside the "
+                        "distributed-setup subset; falling back to the "
+                        "default AMG options for the F-space hierarchy",
+                        obj="mgr-dist")
+                    f_args = AMG_SCHEMA.defaults()
                 sub_state = setup_hierarchy_dist(Aff_parts, f_args, mesh,
                                                  dtype=dtype)
             else:
